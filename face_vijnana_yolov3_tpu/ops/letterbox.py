@@ -1,0 +1,222 @@
+"""Letterbox (aspect-preserving resize + symmetric zero pad) — host and device paths.
+
+The reference letterboxes every image on the host with OpenCV
+(reference src/space/face_detection.py:115-147 for the detector pipeline with
+INTER_CUBIC, src/space/face_identification.py:122-154 for face crops with
+INTER_NEAREST). The *integer geometry* — truncating scaled size, odd-pad split with
+the extra pixel on bottom/right — is part of the framework's numeric contract and is
+reproduced exactly by `letterbox_geometry`.
+
+Two execution paths:
+
+* `letterbox_host`  — bit-faithful: cv2 resize with the reference's interpolation,
+  `cv2.copyMakeBorder` zero pad. Use for strict-parity evaluation.
+* `letterbox_device` — TPU-native fast path: a single fused
+  `jax.image.scale_and_translate` per image with static 416×416 output, batched via
+  `vmap`. Images are shipped to the device once (padded into a fixed staging buffer)
+  and resized on the VPU; interpolation is Keys cubic (a=-0.5) vs OpenCV's a=-0.75,
+  so this path targets metric-level, not bit-level, parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LetterboxGeometry:
+    """Integer letterbox geometry for one image (exact reference math)."""
+
+    src_h: int
+    src_w: int
+    image_size: int
+    new_h: int  # resized height before padding (h_p)
+    new_w: int  # resized width before padding (w_p)
+    pad_t: int
+    pad_b: int
+    pad_l: int
+    pad_r: int
+
+    @property
+    def long_side(self) -> int:
+        return max(self.src_h, self.src_w)
+
+
+def letterbox_geometry(src_h: int, src_w: int, image_size: int) -> LetterboxGeometry:
+    """Reproduce the reference's integer letterbox math.
+
+    Mirrors face_detection.py:115-147: the long side maps to `image_size`; the short
+    side scales by int() truncation; an odd pad puts the extra pixel on the
+    bottom (landscape) or right (portrait). `w >= h` selects the landscape branch,
+    exactly as the reference's `if w >= h:`.
+    """
+    pad_t = pad_b = pad_l = pad_r = 0
+    if src_w >= src_h:
+        new_w = image_size
+        new_h = int(src_h / src_w * image_size)
+        pad = image_size - new_h
+        pad_t = pad // 2
+        pad_b = pad // 2 if pad % 2 == 0 else pad // 2 + 1
+    else:
+        new_h = image_size
+        new_w = int(src_w / src_h * image_size)
+        pad = image_size - new_w
+        pad_l = pad // 2
+        pad_r = pad // 2 if pad % 2 == 0 else pad // 2 + 1
+    return LetterboxGeometry(
+        src_h=src_h,
+        src_w=src_w,
+        image_size=image_size,
+        new_h=new_h,
+        new_w=new_w,
+        pad_t=pad_t,
+        pad_b=pad_b,
+        pad_l=pad_l,
+        pad_r=pad_r,
+    )
+
+
+def letterbox_host(
+    image: np.ndarray, image_size: int, interpolation: str = "cubic"
+) -> tuple[np.ndarray, LetterboxGeometry]:
+    """Bit-faithful host letterbox.
+
+    Args:
+      image: (H, W, 3) array, already normalized the way the caller wants (the
+        reference divides by 255 *before* resizing — face_detection.py:113).
+      image_size: square output size (416 in all reference configs).
+      interpolation: 'cubic' (detector path) or 'nearest' (face-crop path,
+        face_identification.py:139).
+
+    Returns:
+      (letterboxed image (image_size, image_size, 3), geometry).
+    """
+    import cv2 as cv
+
+    geom = letterbox_geometry(image.shape[0], image.shape[1], image_size)
+    interp = cv.INTER_CUBIC if interpolation == "cubic" else cv.INTER_NEAREST
+    resized = cv.resize(image, (geom.new_w, geom.new_h), interpolation=interp)
+    out = cv.copyMakeBorder(
+        resized,
+        geom.pad_t,
+        geom.pad_b,
+        geom.pad_l,
+        geom.pad_r,
+        cv.BORDER_CONSTANT,
+        value=[0, 0, 0],
+    )
+    return out, geom
+
+
+@partial(jax.jit, static_argnames=("image_size", "method"))
+def _letterbox_device_one(
+    staged: jnp.ndarray,
+    src_h: jnp.ndarray,
+    src_w: jnp.ndarray,
+    new_h: jnp.ndarray,
+    new_w: jnp.ndarray,
+    pad_t: jnp.ndarray,
+    pad_l: jnp.ndarray,
+    image_size: int,
+    method: str,
+):
+    """One image: fused scale + translate into the letterbox frame on device.
+
+    `staged` is the image placed top-left inside a fixed staging buffer (any size
+    >= source). The affine map sends source pixel grid [0, src) onto
+    [pad, pad + new) in the output, which is what resize-then-pad composes to.
+    """
+    scale = jnp.stack(
+        [new_h / src_h.astype(jnp.float32), new_w / src_w.astype(jnp.float32)]
+    )
+    translation = jnp.stack([pad_t.astype(jnp.float32), pad_l.astype(jnp.float32)])
+    out = jax.image.scale_and_translate(
+        staged.astype(jnp.float32),
+        shape=(image_size, image_size, staged.shape[-1]),
+        spatial_dims=(0, 1),
+        scale=scale,
+        translation=translation,
+        method=method,
+        antialias=False,
+    )
+    # scale_and_translate fills out-of-domain with 0 already; mask out any bleed from
+    # staging-buffer garbage right of/below the source extent.
+    yy = jnp.arange(image_size)[:, None]
+    xx = jnp.arange(image_size)[None, :]
+    valid = (
+        (yy >= pad_t)
+        & (yy < pad_t + new_h)
+        & (xx >= pad_l)
+        & (xx < pad_l + new_w)
+    )
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+def letterbox_device(
+    staged_batch: jnp.ndarray,
+    geoms: np.ndarray,
+    image_size: int,
+    method: str = "cubic",
+) -> jnp.ndarray:
+    """Batched device letterbox.
+
+    Args:
+      staged_batch: (B, Hmax, Wmax, 3) staging buffer; each image occupies the
+        top-left (src_h, src_w) region, rest is arbitrary.
+      geoms: (B, 6) int32 array of [src_h, src_w, new_h, new_w, pad_t, pad_l]
+        (from `letterbox_geometry`, packed by the caller).
+      image_size: square output size.
+      method: 'cubic' | 'nearest' | 'linear'.
+
+    Returns:
+      (B, image_size, image_size, 3) float32 letterboxed batch on device.
+    """
+    g = jnp.asarray(geoms)
+    fn = jax.vmap(
+        lambda img, gg: _letterbox_device_one(
+            img, gg[0], gg[1], gg[2], gg[3], gg[4], gg[5],
+            image_size=image_size, method=method,
+        )
+    )
+    return fn(staged_batch, g)
+
+
+def pack_geometry(geom: LetterboxGeometry) -> np.ndarray:
+    """Pack a LetterboxGeometry into the int32 vector `letterbox_device` expects."""
+    return np.array(
+        [geom.src_h, geom.src_w, geom.new_h, geom.new_w, geom.pad_t, geom.pad_l],
+        dtype=np.int32,
+    )
+
+
+def unletterbox_boxes(
+    boxes: np.ndarray, geom: LetterboxGeometry
+) -> np.ndarray:
+    """Map [xmin,ymin,xmax,ymax] boxes from net coords back to original image coords.
+
+    Vectorized reproduction of the evaluate-mode box correction
+    (face_detection.py:700-710): subtract the pad on the short axis (clamped at 0),
+    scale by long_side/image_size, clamp x at src_w and y at src_h. Note the
+    reference clamps the *unpadded* axis only at the far edge (min against w or h)
+    and the padded axis at both edges.
+    """
+    boxes = np.asarray(boxes, dtype=np.float64)
+    out = boxes.copy()
+    s = geom.image_size
+    w, h = geom.src_w, geom.src_h
+    if w >= h:
+        out[:, 0] = np.minimum(boxes[:, 0] * w / s, w)
+        out[:, 2] = np.minimum(boxes[:, 2] * w / s, w)
+        out[:, 1] = np.minimum(np.maximum(boxes[:, 1] - geom.pad_t, 0) * w / s, h)
+        out[:, 3] = np.minimum(np.maximum(boxes[:, 3] - geom.pad_t, 0) * w / s, h)
+    else:
+        out[:, 0] = np.minimum(np.maximum(boxes[:, 0] - geom.pad_l, 0) * h / s, w)
+        out[:, 2] = np.minimum(np.maximum(boxes[:, 2] - geom.pad_l, 0) * h / s, w)
+        out[:, 1] = np.minimum(boxes[:, 1] * h / s, h)
+        out[:, 3] = np.minimum(boxes[:, 3] * h / s, h)
+    return out

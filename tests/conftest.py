@@ -1,0 +1,13 @@
+"""Test config: force CPU backend with a virtual 8-device mesh.
+
+Must run before jax is imported anywhere (pytest imports conftest first).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
