@@ -1,0 +1,328 @@
+"""Darknet-53 / YOLOv3 as a declarative graph IR over pure JAX functions.
+
+The reference builds the 106-layer YOLOv3 as a Keras functional graph
+(make_yolov3_model, reference src/space/yolov3_detect.py:196-311) and separately
+re-builds the truncated trunk layer-by-layer (FaceDetector.YOLOV3Base,
+src/space/face_detection.py:384-600). Here both are *generated* from one small IR:
+a list of ops (conv / residual / route / upsample / mark), interpreted by
+
+  * `init_graph_params`   — shape-correct zero/random param+state pytrees,
+  * `apply_graph`         — training/inference forward with live BatchNorm,
+  * `fold_graph_params`   — conv+BN folding for the inference fast path,
+  * `apply_graph_folded`  — bf16 MXU-friendly folded forward.
+
+Conv convention: NHWC activations, HWIO kernels, symmetric pad 1 for every 3x3 conv
+(the reference applies ZeroPadding2D(1) to all k>1 convs regardless of stride —
+yolov3_detect.py:205 — which matches darknet's own symmetric pad=1, so pretrained
+weights align). BatchNorm epsilon 1e-3, LeakyReLU alpha 0.1.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BN_EPS = 1e-3
+LEAKY_ALPHA = 0.1
+BN_MOMENTUM = 0.99  # Keras 2.2.4 BatchNormalization default
+
+
+# ------------------------------------------------------------------ graph IR
+
+def _conv(idx, out_c, k=3, stride=1, bn=True, leaky=True):
+    return ("conv", idx, out_c, k, stride, bn, leaky)
+
+
+def _residual_stage(first_idx, n_blocks, c_half, c_full, ops):
+    """One darknet residual stage: n_blocks of [1x1 c_half, 3x3 c_full] + add.
+
+    Matches the reference's skip bookkeeping (skip reassigned after each add —
+    face_detection.py:481-482 vs :445 for the first stage where it is not; the
+    arithmetic is identical because stage 1 has a single block).
+    """
+    idx = first_idx
+    for _ in range(n_blocks):
+        ops.append(("save", "skip"))
+        ops.append(_conv(idx, c_half, k=1))
+        ops.append(_conv(idx + 1, c_full, k=3))
+        ops.append(("add", "skip"))
+        idx += 3
+    return idx
+
+
+def trunk_graph() -> list[tuple]:
+    """Darknet-53 trunk conv_0..conv_73 → 13x13x1024 (the reference's YOLOV3Base)."""
+    ops: list[tuple] = []
+    ops.append(_conv(0, 32, k=3, stride=1))
+    ops.append(_conv(1, 64, k=3, stride=2))
+    _residual_stage(2, 1, 32, 64, ops)
+    ops.append(_conv(5, 128, k=3, stride=2))
+    _residual_stage(6, 2, 64, 128, ops)
+    ops.append(_conv(12, 256, k=3, stride=2))
+    _residual_stage(13, 8, 128, 256, ops)
+    ops.append(("mark", "skip_36"))
+    ops.append(_conv(37, 512, k=3, stride=2))
+    _residual_stage(38, 8, 256, 512, ops)
+    ops.append(("mark", "skip_61"))
+    ops.append(_conv(62, 1024, k=3, stride=2))
+    _residual_stage(63, 4, 512, 1024, ops)
+    ops.append(("output", "trunk"))
+    return ops
+
+
+def yolov3_graph() -> list[tuple]:
+    """Full 3-head YOLOv3 (make_yolov3_model parity, yolov3_detect.py:217-311)."""
+    ops = trunk_graph()
+    ops = [op for op in ops if op[0] != "output"]
+    # Layer 75-79.
+    for idx, c, k in ((75, 512, 1), (76, 1024, 3), (77, 512, 1), (78, 1024, 3),
+                      (79, 512, 1)):
+        ops.append(_conv(idx, c, k=k))
+    ops.append(("mark", "route_79"))
+    # Head at stride 32.
+    ops.append(_conv(80, 1024, k=3))
+    ops.append(_conv(81, 255, k=1, bn=False, leaky=False))
+    ops.append(("output", "yolo_82"))
+    # Stride-16 branch.
+    ops.append(("restore", "route_79"))
+    ops.append(_conv(84, 256, k=1))
+    ops.append(("upsample",))
+    ops.append(("concat", "skip_61"))
+    for idx, c, k in ((87, 256, 1), (88, 512, 3), (89, 256, 1), (90, 512, 3),
+                      (91, 256, 1)):
+        ops.append(_conv(idx, c, k=k))
+    ops.append(("mark", "route_91"))
+    ops.append(_conv(92, 512, k=3))
+    ops.append(_conv(93, 255, k=1, bn=False, leaky=False))
+    ops.append(("output", "yolo_94"))
+    # Stride-8 branch.
+    ops.append(("restore", "route_91"))
+    ops.append(_conv(96, 128, k=1))
+    ops.append(("upsample",))
+    ops.append(("concat", "skip_36"))
+    for idx, c, k in ((99, 128, 1), (100, 256, 3), (101, 128, 1), (102, 256, 3),
+                      (103, 128, 1), (104, 256, 3)):
+        ops.append(_conv(idx, c, k=k))
+    ops.append(_conv(105, 255, k=1, bn=False, leaky=False))
+    ops.append(("output", "yolo_106"))
+    return ops
+
+
+def conv_layout(ops: list[tuple]) -> list[tuple[int, int, int, int, int, bool]]:
+    """Enumerate convs as (idx, in_c, out_c, k, stride, bnorm) by walking the IR.
+
+    The channel walk is what lets the darknet weight importer read the binary
+    sequentially without a Keras model in the loop.
+    """
+    layout = []
+    c = 3
+    saved: dict[str, int] = {}
+    for op in ops:
+        kind = op[0]
+        if kind == "conv":
+            _, idx, out_c, k, stride, bn, _ = op
+            layout.append((idx, c, out_c, k, stride, bn))
+            c = out_c
+        elif kind in ("save", "mark"):
+            saved[op[1]] = c
+        elif kind == "restore":
+            c = saved[op[1]]
+        elif kind == "concat":
+            c = c + saved[op[1]]
+        # add/upsample/output leave channels unchanged
+    return layout
+
+
+# ------------------------------------------------------------------ params
+
+def init_graph_params(ops: list[tuple], rng: jax.Array | None = None):
+    """Build (params, state) pytrees for a graph.
+
+    params[f"conv_{i}"] = {"kernel": (k,k,in,out)[, "bias": (out,)]}
+    params[f"bnorm_{i}"] = {"gamma": (out,), "beta": (out,)}      (trainable)
+    state[f"bnorm_{i}"]  = {"mean": (out,), "var": (out,)}        (moving stats)
+    """
+    params: dict[str, Any] = {}
+    state: dict[str, Any] = {}
+    keys = None
+    if rng is not None:
+        keys = iter(jax.random.split(rng, 256))
+    for idx, in_c, out_c, k, _stride, bn in conv_layout(ops):
+        shape = (k, k, in_c, out_c)
+        if rng is None:
+            kernel = jnp.zeros(shape, jnp.float32)
+        else:
+            # He-uniform-ish fan-in init (Keras Conv2D default is glorot_uniform;
+            # close enough for fresh heads — pretrained paths overwrite anyway).
+            fan_in = k * k * in_c
+            limit = float(np.sqrt(6.0 / fan_in))
+            kernel = jax.random.uniform(
+                next(keys), shape, jnp.float32, -limit, limit
+            )
+        entry = {"kernel": kernel}
+        if not bn:
+            entry["bias"] = jnp.zeros((out_c,), jnp.float32)
+        params[f"conv_{idx}"] = entry
+        if bn:
+            params[f"bnorm_{idx}"] = {
+                "gamma": jnp.ones((out_c,), jnp.float32),
+                "beta": jnp.zeros((out_c,), jnp.float32),
+            }
+            state[f"bnorm_{idx}"] = {
+                "mean": jnp.zeros((out_c,), jnp.float32),
+                "var": jnp.ones((out_c,), jnp.float32),
+            }
+    return params, state
+
+
+# ------------------------------------------------------------------ forward
+
+def _conv2d(x, kernel, stride, k, compute_dtype):
+    if k > 1:
+        pad = ((1, 1), (1, 1))
+    else:
+        pad = ((0, 0), (0, 0))
+    # In f32 request HIGHEST precision: on TPU the default lowers f32 convs to
+    # bf16 MXU passes (~1e-2 error), which would break parity paths. The bf16
+    # fast path keeps the default single-pass MXU lowering.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    return jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        kernel.astype(compute_dtype),
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def apply_graph(
+    params,
+    state,
+    x,
+    ops: list[tuple],
+    *,
+    train: bool = False,
+    compute_dtype=jnp.float32,
+):
+    """Interpret the graph. Returns (outputs, new_state).
+
+    outputs is a dict name→tensor for each ("output", name) op. With train=True,
+    BatchNorm normalizes by batch statistics and new_state carries the updated
+    moving averages (Keras momentum-0.99 rule); with train=False the moving stats
+    are used and new_state is state unchanged.
+    """
+    saved: dict[str, jnp.ndarray] = {}
+    outputs: dict[str, jnp.ndarray] = {}
+    new_state = dict(state)
+    h = x
+    for op in ops:
+        kind = op[0]
+        if kind == "conv":
+            _, idx, _out_c, k, stride, bn, leaky = op
+            p = params[f"conv_{idx}"]
+            h = _conv2d(h, p["kernel"], stride, k, compute_dtype)
+            if bn:
+                bp = params[f"bnorm_{idx}"]
+                bs = state[f"bnorm_{idx}"]
+                if train:
+                    mean = jnp.mean(h, axis=(0, 1, 2))
+                    var = jnp.var(h, axis=(0, 1, 2))
+                    new_state[f"bnorm_{idx}"] = {
+                        "mean": bs["mean"] * BN_MOMENTUM + mean * (1 - BN_MOMENTUM),
+                        "var": bs["var"] * BN_MOMENTUM + var * (1 - BN_MOMENTUM),
+                    }
+                else:
+                    mean, var = bs["mean"], bs["var"]
+                inv = jax.lax.rsqrt(var + BN_EPS)
+                h = (h - mean) * (inv * bp["gamma"]) + bp["beta"]
+            else:
+                h = h + p["bias"]
+            if leaky:
+                h = jnp.where(h > 0, h, LEAKY_ALPHA * h)
+            h = h.astype(compute_dtype)
+        elif kind in ("save", "mark"):
+            saved[op[1]] = h
+        elif kind == "add":
+            h = saved[op[1]] + h
+        elif kind == "restore":
+            h = saved[op[1]]
+        elif kind == "concat":
+            h = jnp.concatenate([h, saved[op[1]]], axis=-1)
+        elif kind == "upsample":
+            b, hh, ww, c = h.shape
+            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+        elif kind == "output":
+            outputs[op[1]] = h.astype(jnp.float32)
+        else:
+            raise ValueError(f"unknown op {op}")
+    return outputs, new_state
+
+
+# ------------------------------------------------------------------ folded fast path
+
+def fold_graph_params(params, state, ops: list[tuple]):
+    """Fold BatchNorm into conv kernels/biases for inference.
+
+    w' = w * gamma/sqrt(var+eps) (per out-channel), b' = beta - mean*gamma/sqrt(..).
+    Numerically identical to conv→BN at inference up to float reassociation.
+    """
+    folded = {}
+    for idx, _in_c, _out_c, k, stride, bn in conv_layout(ops):
+        p = params[f"conv_{idx}"]
+        if bn:
+            bp = params[f"bnorm_{idx}"]
+            bs = state[f"bnorm_{idx}"]
+            scale = bp["gamma"] / jnp.sqrt(bs["var"] + BN_EPS)
+            folded[f"conv_{idx}"] = {
+                "kernel": p["kernel"] * scale[None, None, None, :],
+                "bias": bp["beta"] - bs["mean"] * scale,
+            }
+        else:
+            folded[f"conv_{idx}"] = {"kernel": p["kernel"], "bias": p["bias"]}
+    return folded
+
+
+def apply_graph_folded(
+    folded_params, x, ops: list[tuple], *, compute_dtype=jnp.bfloat16
+):
+    """Inference forward with conv+BN folded; bf16 inputs/weights, f32 accumulation.
+
+    This is the bench/serving path: every conv is a single MXU op with a fused
+    bias + leaky epilogue, no BN normalization traffic.
+    """
+    saved: dict[str, jnp.ndarray] = {}
+    outputs: dict[str, jnp.ndarray] = {}
+    h = x
+    for op in ops:
+        kind = op[0]
+        if kind == "conv":
+            _, idx, _out_c, k, stride, _bn, leaky = op
+            p = folded_params[f"conv_{idx}"]
+            h = _conv2d(h, p["kernel"], stride, k, compute_dtype)
+            h = h + p["bias"]
+            if leaky:
+                h = jnp.where(h > 0, h, LEAKY_ALPHA * h)
+            h = h.astype(compute_dtype)
+        elif kind in ("save", "mark"):
+            saved[op[1]] = h
+        elif kind == "add":
+            h = saved[op[1]] + h
+        elif kind == "restore":
+            h = saved[op[1]]
+        elif kind == "concat":
+            h = jnp.concatenate([h, saved[op[1]]], axis=-1)
+        elif kind == "upsample":
+            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+        elif kind == "output":
+            outputs[op[1]] = h.astype(jnp.float32)
+    return outputs

@@ -1,0 +1,101 @@
+"""Face detector: truncated Darknet-53 trunk + 6-channel linear conv head.
+
+Capability-equivalent to the reference FaceDetector model
+(reference src/space/face_detection.py:339-382): 416x416x3 → trunk (conv_0..73,
+13x13x1024) → Conv2D(6, 3x3, 'same', linear) → 13x13x6
+[obj, bx, by, bw, bh, score] raw logits. Trained with plain MSE against the
+13x13x6 GT tensor, exactly as the reference compiles loss='mse'
+(face_detection.py:381 — its fd_loss exists but is commented out).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from face_vijnana_yolov3_tpu.models import darknet
+
+
+class FaceDetectorModel:
+    """Pure-functional face detector; params/state are explicit pytrees."""
+
+    def __init__(self, image_size: int = 416, out_channels: int = 6):
+        self.image_size = image_size
+        self.out_channels = out_channels
+        self.ops = darknet.trunk_graph()
+
+    # -------------------------------------------------------------- params
+
+    def init(self, rng: jax.Array):
+        trunk_rng, head_rng = jax.random.split(rng)
+        params, state = darknet.init_graph_params(self.ops, trunk_rng)
+        fan_in = 3 * 3 * 1024
+        fan_out = self.out_channels
+        limit = float(jnp.sqrt(6.0 / (fan_in + fan_out)))  # glorot_uniform
+        params["head"] = {
+            "kernel": jax.random.uniform(
+                head_rng, (3, 3, 1024, self.out_channels), jnp.float32,
+                -limit, limit,
+            ),
+            "bias": jnp.zeros((self.out_channels,), jnp.float32),
+        }
+        return params, state
+
+    def init_from_darknet(self, weights_path: str, rng: jax.Array):
+        """Pretrained trunk from yolov3.weights + fresh head (reference __init__
+        path when model_loading is false, face_detection.py:339-352)."""
+        from face_vijnana_yolov3_tpu.core.weights import load_darknet_weights
+
+        params, state = load_darknet_weights(weights_path, self.ops)
+        fresh, _ = self.init(rng)
+        params["head"] = fresh["head"]
+        return params, state
+
+    # -------------------------------------------------------------- forward
+
+    def apply(self, params, state, x, *, train: bool = False,
+              compute_dtype=jnp.float32):
+        """Returns ((B,13,13,6) head output, new_state)."""
+        outs, new_state = darknet.apply_graph(
+            params, state, x, self.ops, train=train, compute_dtype=compute_dtype
+        )
+        feat = outs["trunk"].astype(compute_dtype)
+        h = jax.lax.conv_general_dilated(
+            feat,
+            params["head"]["kernel"].astype(compute_dtype),
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ) + params["head"]["bias"]
+        return h.astype(jnp.float32), new_state
+
+    def fold(self, params, state):
+        folded = darknet.fold_graph_params(params, state, self.ops)
+        folded["head"] = params["head"]
+        return folded
+
+    def apply_folded(self, folded, x, *, compute_dtype=jnp.bfloat16):
+        outs = darknet.apply_graph_folded(
+            folded, x, self.ops, compute_dtype=compute_dtype
+        )
+        feat = outs["trunk"].astype(compute_dtype)
+        h = jax.lax.conv_general_dilated(
+            feat,
+            folded["head"]["kernel"].astype(compute_dtype),
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ) + folded["head"]["bias"]
+        return h.astype(jnp.float32)
+
+    # -------------------------------------------------------------- loss
+
+    @staticmethod
+    def loss(pred, gt):
+        """Keras loss='mse' (face_detection.py:381): mean squared error over all
+        elements (per-sample mean over the 13x13x6 tensor, then batch mean)."""
+        return jnp.mean(jnp.square(pred - gt))

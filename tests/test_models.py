@@ -1,0 +1,212 @@
+"""Model graph tests: parameter counts vs the darknet binary format, forward
+shapes, BN fold parity, weight-importer layout, numeric cross-check vs TF Keras."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from face_vijnana_yolov3_tpu.models import darknet
+from face_vijnana_yolov3_tpu.models.detector import FaceDetectorModel
+from face_vijnana_yolov3_tpu.models.identifier import FaceIdentifierModel
+from face_vijnana_yolov3_tpu.core.weights import load_darknet_weights
+
+
+def _float_count(ops):
+    n = 0
+    for idx, in_c, out_c, k, _s, bn in darknet.conv_layout(ops):
+        n += (4 * out_c if bn else out_c) + k * k * in_c * out_c
+    return n
+
+
+def test_full_graph_matches_darknet_file_float_count():
+    # yolov3.weights is 248007048 bytes = 20 header + 62001757 float32 weights.
+    assert _float_count(darknet.yolov3_graph()) == 62001757
+
+
+def test_trunk_is_prefix_of_full_graph():
+    trunk = darknet.conv_layout(darknet.trunk_graph())
+    full = darknet.conv_layout(darknet.yolov3_graph())
+    assert full[: len(trunk)] == trunk
+    assert [t[0] for t in trunk] == sorted(t[0] for t in trunk)
+    assert trunk[-1][0] == 73 and trunk[-1][2] == 1024
+
+
+def test_trunk_param_count_matches_reference_analysis():
+    # Reference analysis reports the base model at ~40.6M params
+    # (analysis/facial_idetity_analysis.txt:26-40).
+    n = _float_count(darknet.trunk_graph())
+    assert 40_500_000 < n < 40_700_000
+
+
+def test_apply_graph_shapes_small_input():
+    ops = darknet.trunk_graph()
+    params, state = darknet.init_graph_params(ops, jax.random.PRNGKey(0))
+    x = jnp.zeros((2, 64, 64, 3))
+    outs, _ = darknet.apply_graph(params, state, x, ops)
+    assert outs["trunk"].shape == (2, 2, 2, 1024)
+
+
+def test_full_graph_head_shapes_small_input():
+    ops = darknet.yolov3_graph()
+    params, state = darknet.init_graph_params(ops, jax.random.PRNGKey(1))
+    x = jnp.zeros((1, 128, 128, 3))
+    outs, _ = darknet.apply_graph(params, state, x, ops)
+    assert outs["yolo_82"].shape == (1, 4, 4, 255)
+    assert outs["yolo_94"].shape == (1, 8, 8, 255)
+    assert outs["yolo_106"].shape == (1, 16, 16, 255)
+
+
+def test_fold_parity_inference():
+    # Prefix subgraph (through the first residual stage): deep random-BN stacks
+    # amplify activations geometrically, which only obscures the comparison.
+    ops = darknet.trunk_graph()[:8] + [("output", "trunk")]
+    rng = np.random.default_rng(0)
+    params, state = darknet.init_graph_params(ops, jax.random.PRNGKey(2))
+    # Randomize BN stats so folding is non-trivial.
+    for k in list(state):
+        c = state[k]["mean"].shape[0]
+        state[k] = {
+            "mean": jnp.asarray(rng.normal(0, 0.5, c).astype(np.float32)),
+            "var": jnp.asarray(rng.uniform(0.5, 2.0, c).astype(np.float32)),
+        }
+        params[k] = {
+            "gamma": jnp.asarray(rng.uniform(0.5, 1.5, c).astype(np.float32)),
+            "beta": jnp.asarray(rng.normal(0, 0.2, c).astype(np.float32)),
+        }
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    outs, _ = darknet.apply_graph(params, state, x, ops)
+    folded = darknet.fold_graph_params(params, state, ops)
+    outs_f = darknet.apply_graph_folded(folded, x, ops, compute_dtype=jnp.float32)
+    a, b = np.asarray(outs["trunk"]), np.asarray(outs_f["trunk"])
+    scale = np.maximum(np.abs(a), 1.0)
+    assert np.max(np.abs(a - b) / scale) < 1e-4
+
+
+def test_bn_train_mode_updates_moving_stats():
+    ops = [("conv", 0, 8, 3, 1, True, True), ("output", "y")]
+    params, state = darknet.init_graph_params(ops, jax.random.PRNGKey(3))
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 8, 8, 3)) * 3,
+                    jnp.float32)
+    _, new_state = darknet.apply_graph(params, state, x, ops, train=True)
+    m, v = new_state["bnorm_0"]["mean"], new_state["bnorm_0"]["var"]
+    assert not np.allclose(np.asarray(m), 0.0)
+    # momentum 0.99: new = 0.99*old + 0.01*batch
+    assert np.all(np.abs(np.asarray(m)) < 1.0)
+    _, same_state = darknet.apply_graph(params, state, x, ops, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(same_state["bnorm_0"]["mean"]), np.zeros(8, np.float32)
+    )
+
+
+def _fake_weights_file(tmp_path, ops):
+    n = _float_count(ops)
+    rng = np.random.default_rng(7)
+    body = rng.normal(size=n).astype(np.float32)
+    path = tmp_path / "fake.weights"
+    with open(path, "wb") as f:
+        f.write(np.array([0, 2, 0], dtype=np.int32).tobytes())  # header: ver 0.2
+        f.write(np.zeros(8, dtype=np.uint8).tobytes())          # seen counter
+        f.write(body.tobytes())
+    return str(path), body
+
+
+def test_weight_loader_layout(tmp_path):
+    ops = darknet.trunk_graph()
+    path, body = _fake_weights_file(tmp_path, ops)
+    params, state = load_darknet_weights(path, ops)
+    # conv_0: beta(32), gamma(32), mean(32), var(32), kernel 32*3*3*3.
+    np.testing.assert_array_equal(np.asarray(params["bnorm_0"]["beta"]), body[:32])
+    np.testing.assert_array_equal(np.asarray(params["bnorm_0"]["gamma"]), body[32:64])
+    np.testing.assert_array_equal(np.asarray(state["bnorm_0"]["mean"]), body[64:96])
+    np.testing.assert_array_equal(np.asarray(state["bnorm_0"]["var"]), body[96:128])
+    k0 = body[128 : 128 + 32 * 3 * 3 * 3].reshape(32, 3, 3, 3).transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(np.asarray(params["conv_0"]["kernel"]), k0)
+    assert params["conv_73"]["kernel"].shape == (3, 3, 512, 1024)
+
+
+def test_weight_loader_exhaustion_error(tmp_path):
+    ops = darknet.trunk_graph()
+    path, _ = _fake_weights_file(tmp_path, [("conv", 0, 32, 3, 1, True, True)])
+    with pytest.raises(ValueError, match="exhausted"):
+        load_darknet_weights(path, ops)
+
+
+def test_conv_bn_leaky_matches_tf_keras():
+    """Numeric cross-check of one conv+BN+leaky stage against TF Keras (the
+    reference's runtime), inference mode."""
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    kernel = rng.normal(0, 0.1, size=(3, 3, 3, 8)).astype(np.float32)
+    gamma = rng.uniform(0.5, 1.5, 8).astype(np.float32)
+    beta = rng.normal(0, 0.2, 8).astype(np.float32)
+    mean = rng.normal(0, 0.5, 8).astype(np.float32)
+    var = rng.uniform(0.5, 2.0, 8).astype(np.float32)
+
+    inp = tf.keras.Input((16, 16, 3))
+    h = tf.keras.layers.ZeroPadding2D(1)(inp)
+    h = tf.keras.layers.Conv2D(8, 3, strides=2, padding="valid", use_bias=False)(h)
+    h = tf.keras.layers.BatchNormalization(epsilon=1e-3)(h)
+    h = tf.keras.layers.LeakyReLU(0.1)(h)
+    model = tf.keras.Model(inp, h)
+    model.layers[2].set_weights([kernel])
+    model.layers[3].set_weights([gamma, beta, mean, var])
+    want = model(x, training=False).numpy()
+
+    ops = [("conv", 0, 8, 3, 2, True, True), ("output", "y")]
+    params = {"conv_0": {"kernel": jnp.asarray(kernel)},
+              "bnorm_0": {"gamma": jnp.asarray(gamma), "beta": jnp.asarray(beta)}}
+    state = {"bnorm_0": {"mean": jnp.asarray(mean), "var": jnp.asarray(var)}}
+    outs, _ = darknet.apply_graph(params, state, jnp.asarray(x), ops)
+    np.testing.assert_allclose(np.asarray(outs["y"]), want, atol=1e-5, rtol=1e-5)
+
+
+# ------------------------------------------------------------------ task models
+
+def test_detector_forward_and_loss():
+    model = FaceDetectorModel(image_size=64)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((2, 64, 64, 3))
+    out, _ = model.apply(params, state, x)
+    assert out.shape == (2, 2, 2, 6)
+    gt = jnp.ones_like(out)
+    assert float(model.loss(out, gt)) == pytest.approx(
+        float(jnp.mean((out - gt) ** 2))
+    )
+
+
+def test_identifier_embed_normalized_and_triplet_loss():
+    model = FaceIdentifierModel(image_size=64, dense1_dim=16)
+    params, state = model.init(jax.random.PRNGKey(1))
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+    emb, _ = model.embed(params, state, x)
+    assert emb.shape == (2, 16)
+    norms = np.linalg.norm(np.asarray(emb), axis=-1)
+    # relu can zero everything with random init; norms are 1 or ~0.
+    assert np.all((np.abs(norms - 1.0) < 1e-5) | (norms < 1e-3))
+
+    # Handcrafted triplet loss check.
+    a = np.zeros((3, 4), np.float32)
+    p = np.zeros((3, 4), np.float32)
+    n = np.zeros((3, 4), np.float32)
+    p[0, 0] = 1.0   # d_ap=1, d_an=0 → 1 - 0 + 0.2 = 1.2
+    n[1, 0] = 2.0   # d_ap=0, d_an=2 → max(0-2+0.2, 0) = 0
+    y = jnp.asarray(np.concatenate([a, p, n], axis=1))
+    loss = FaceIdentifierModel.triplet_loss(y, dim=4)
+    assert float(loss) == pytest.approx((1.2 + 0.0 + 0.2) / 3, rel=1e-6)
+
+
+def test_triplet_forward_stacks_one_batch():
+    model = FaceIdentifierModel(image_size=64, dense1_dim=8)
+    params, state = model.init(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(4)
+    a, p, n = (jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+               for _ in range(3))
+    out, _ = model.triplet_forward(params, state, a, p, n)
+    assert out.shape == (2, 24)
+    ea, _ = model.embed(params, state, a)
+    np.testing.assert_allclose(np.asarray(out[:, :8]), np.asarray(ea),
+                               atol=1e-5, rtol=1e-5)
