@@ -1,0 +1,162 @@
+"""Typed configuration reproducing the reference's JSON schema.
+
+Schema source: reference face_vijnana_yolov3.json:1-62 and README.md:67-128 — a
+top-level object with `fd_conf` / `fi_conf` sections, each holding mode, paths,
+multi-gpu toggles, model-loading flags, `hps` and `nn_arch` sub-dicts. The
+reference's docker variant exposes the same knobs as argparse flags
+(docker/code/face_detection.py:1140-1154); `apply_overrides` reproduces that
+second interface as dotted-path CLI overrides (e.g. `--set hps.lr=1e-3`).
+
+Like the reference, `hps['step']` is a placeholder that the data pipeline
+overwrites at runtime with ceil(N / batch_size) (face_detection.py:87-90).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import platform
+from typing import Any
+
+
+@dataclasses.dataclass
+class FdHps:
+    lr: float = 0.0001
+    beta_1: float = 0.99
+    beta_2: float = 0.99
+    decay: float = 0.0
+    epochs: int = 6
+    step: int = 1
+    batch_size: int = 40
+    face_conf_th: float = 0.5
+    nms_iou_th: float = 0.5
+    num_cands: int = 60
+    face_region_ratio_th: float = 0.8
+
+
+@dataclasses.dataclass
+class FdNNArch:
+    image_size: int = 416
+    bb_info_c_size: int = 6
+
+
+@dataclasses.dataclass
+class FdConf:
+    mode: str = "train"
+    raw_data_path: str = ""
+    test_path: str = ""
+    output_file_path: str = "solution_fd.csv"
+    multi_gpu: bool = False          # reference knob; maps to data-parallel mesh
+    num_gpus: int = 4                # ignored on TPU (mesh uses all devices)
+    yolov3_base_model_load: bool = False
+    model_loading: bool = False
+    weights_path: str = "yolov3.weights"
+    model_path: str = "face_detector_tpu"
+    hps: FdHps = dataclasses.field(default_factory=FdHps)
+    nn_arch: FdNNArch = dataclasses.field(default_factory=FdNNArch)
+
+
+@dataclasses.dataclass
+class FiHps:
+    lr: float = 0.001
+    beta_1: float = 0.99
+    beta_2: float = 0.99
+    decay: float = 0.0
+    epochs: int = 1
+    step: int = 1
+    batch_size: int = 1
+    sim_th: float = 0.2
+    face_conf_th: float = 0.5
+
+
+@dataclasses.dataclass
+class FiNNArch:
+    image_size: int = 416
+    dense1_dim: int = 64
+
+
+@dataclasses.dataclass
+class FiConf:
+    mode: str = "train"
+    resource_type: str = "uccs"      # 'uccs' | 'vggface2'
+    raw_data_path: str = ""
+    test_path: str = ""
+    output_file_path: str = "solution_fi.csv"
+    multi_gpu: bool = False
+    num_gpus: int = 4
+    yolov3_base_model_load: bool = False
+    face_vijana_recon_load: bool = False  # reference spelling preserved
+    model_loading: bool = False
+    weights_path: str = "yolov3.weights"
+    model_path: str = "face_identifier_tpu"
+    hps: FiHps = dataclasses.field(default_factory=FiHps)
+    nn_arch: FiNNArch = dataclasses.field(default_factory=FiNNArch)
+
+
+@dataclasses.dataclass
+class Conf:
+    fd_conf: FdConf = dataclasses.field(default_factory=FdConf)
+    fi_conf: FiConf = dataclasses.field(default_factory=FiConf)
+
+
+def _merge_dataclass(dc, data: dict):
+    for field in dataclasses.fields(dc):
+        if field.name not in data:
+            continue
+        value = data[field.name]
+        current = getattr(dc, field.name)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            _merge_dataclass(current, value)
+        else:
+            setattr(dc, field.name, value)
+    return dc
+
+
+def load_conf(path: str | None = None, data: dict | None = None) -> Conf:
+    """Load from a reference-format JSON file (or an already-parsed dict).
+
+    When `path` is None, falls back to `face_vijnana_yolov3.json` /
+    `face_vijnana_yolov3_win.json` by platform, like the reference mains
+    (face_detection.py:955-960).
+    """
+    if data is None:
+        if path is None:
+            path = (
+                "face_vijnana_yolov3_win.json"
+                if platform.system() == "Windows"
+                else "face_vijnana_yolov3.json"
+            )
+        with open(path, "r") as f:
+            data = json.load(f)
+    conf = Conf()
+    if "fd_conf" in data:
+        _merge_dataclass(conf.fd_conf, data["fd_conf"])
+    if "fi_conf" in data:
+        _merge_dataclass(conf.fi_conf, data["fi_conf"])
+    return conf
+
+
+def apply_overrides(conf: Conf, overrides: list[str]) -> Conf:
+    """Apply `section.path=value` CLI overrides (docker argparse-flag parity).
+
+    Example: ["fd_conf.mode=evaluate", "fd_conf.hps.lr=1e-3"].
+    Values parse as JSON when possible, else stay strings.
+    """
+    for item in overrides:
+        path, _, raw = item.partition("=")
+        try:
+            value: Any = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        node: Any = conf
+        parts = path.split(".")
+        for p in parts[:-1]:
+            node = getattr(node, p)
+        if not hasattr(node, parts[-1]):
+            raise KeyError(f"unknown config key: {path}")
+        setattr(node, parts[-1], value)
+    return conf
+
+
+def conf_to_dict(conf: Conf) -> dict:
+    return dataclasses.asdict(conf)

@@ -1,0 +1,293 @@
+"""Face detection entry point: train / evaluate / test, config-JSON driven.
+
+Mode-for-mode equivalent of the reference `face_detection.py` main
+(reference src/space/face_detection.py:951-987), emitting the same artifacts:
+`solution_fd.csv` rows `file,x,y,w,h,score` (≤60 per image), annotated JPEGs in
+`<test_path>/results/` (evaluate mode), `ratios.csv`.
+
+TPU-native differences: inference runs as batched jitted forward + the fused
+on-device postprocess (the reference predicts one image at a time and decodes on
+the host); training is the SPMD mesh step instead of `multi_gpu_model`.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from face_vijnana_yolov3_tpu.api.config import FdConf, load_conf, apply_overrides
+from face_vijnana_yolov3_tpu.models.detector import FaceDetectorModel
+from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_host, unletterbox_boxes
+from face_vijnana_yolov3_tpu.ops.postprocess import (
+    FacePostprocessConfig,
+    face_postprocess,
+)
+from face_vijnana_yolov3_tpu.utils.io import imread, imsave
+
+DEBUG = True
+
+
+class FaceDetectorPipeline:
+    """Detector lifecycle: build/load params, batched detect, modes."""
+
+    def __init__(self, conf: FdConf, *, precision: str = "float32"):
+        self.conf = conf
+        self.hps = vars(conf.hps) if not isinstance(conf.hps, dict) else conf.hps
+        self.nn_arch = (
+            vars(conf.nn_arch) if not isinstance(conf.nn_arch, dict) else conf.nn_arch
+        )
+        self.image_size = self.nn_arch["image_size"]
+        self.grid = 13
+        self.cell_image_size = self.image_size // self.grid
+        self.precision = precision
+        self.model = FaceDetectorModel(
+            image_size=self.image_size,
+            out_channels=self.nn_arch["bb_info_c_size"],
+        )
+
+        if conf.model_loading:
+            from face_vijnana_yolov3_tpu.core.checkpoints import load_checkpoint
+
+            ckpt = load_checkpoint(conf.model_path)
+            self.params, self.state = ckpt["params"], ckpt["state"]
+        elif os.path.exists(conf.weights_path):
+            self.params, self.state = self.model.init_from_darknet(
+                conf.weights_path, jax.random.PRNGKey(0)
+            )
+        else:
+            # The reference hard-requires yolov3.weights; a fresh random trunk
+            # keeps the pipeline runnable in weightless environments (tests).
+            print(
+                f"[face_detection] {conf.weights_path} not found — "
+                "random-initializing trunk"
+            )
+            self.params, self.state = self.model.init(jax.random.PRNGKey(0))
+
+        self._pp_cfg = FacePostprocessConfig(
+            image_size=self.image_size,
+            grid=self.grid,
+            conf_th=self.hps["face_conf_th"],
+            nms_iou_th=self.hps["nms_iou_th"],
+            num_cands=self.hps["num_cands"],
+        )
+        self._jit_detect = None
+
+    # -------------------------------------------------------------- detect
+
+    def _build_detect(self):
+        cfg = self._pp_cfg
+        if self.precision == "bfloat16":
+            folded = self.model.fold(self.params, self.state)
+
+            def detect(images):
+                head = self.model.apply_folded(
+                    folded, images, compute_dtype=jnp.bfloat16
+                )
+                return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
+
+            self._jit_detect = jax.jit(detect)
+        else:
+            params, state = self.params, self.state
+
+            def detect(images):
+                head, _ = self.model.apply(params, state, images, train=False)
+                return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
+
+            self._jit_detect = jax.jit(detect)
+
+    def detect_batch(self, images: np.ndarray):
+        """(B,S,S,3) letterboxed float images → (cands (B,num_cands,6), counts (B,)).
+
+        Fuses the reference's detect() chain (face_detection.py:885-949) into one
+        device program: forward, sigmoid/threshold decode, NMS, ascending-score
+        candidate selection.
+        """
+        if self._jit_detect is None:
+            self._build_detect()
+        cands, counts = self._jit_detect(jnp.asarray(images, jnp.float32))
+        return np.asarray(cands), np.asarray(counts)
+
+    def detect(self, image: np.ndarray):
+        """Single-image detect returning box dict rows (reference API shape)."""
+        cands, counts = self.detect_batch(image[None] if image.ndim == 3 else image)
+        out = []
+        for k in range(int(counts[0])):
+            x0, y0, x1, y1, obj, score = cands[0, k]
+            out.append(
+                {"xmin": float(x0), "ymin": float(y0), "xmax": float(x1),
+                 "ymax": float(y1), "objness": float(obj), "score": float(score)}
+            )
+        return out
+
+    # -------------------------------------------------------------- train
+
+    def train(self):
+        from face_vijnana_yolov3_tpu.data.uccs import DetectionDataset
+        from face_vijnana_yolov3_tpu.train.trainer import train_detector
+
+        dataset = DetectionDataset(
+            self.conf.raw_data_path,
+            image_size=self.image_size,
+            grid=self.grid,
+            channels=self.nn_arch["bb_info_c_size"],
+        )
+        self.params, self.state, losses = train_detector(
+            self.model,
+            self.params,
+            self.state,
+            dataset,
+            self.hps,
+            checkpoint_path=self.conf.model_path,
+        )
+        print("Save the model.")
+        return losses
+
+    # -------------------------------------------------------------- evaluate/test
+
+    def _iter_detections(self, file_names: list[str], batch_size: int):
+        """Letterbox on host, detect in device batches; yields per-image results.
+
+        Yields (file_name, original_image, geom, boxes_in_original_coords) where
+        boxes rows are [xmin,ymin,xmax,ymax,score] floats in original coords.
+        """
+        for start in range(0, len(file_names), batch_size):
+            chunk = file_names[start : start + batch_size]
+            images, geoms, originals = [], [], []
+            for fn in chunk:
+                image_o = imread(fn)
+                lb, geom = letterbox_host(image_o / 255, self.image_size, "cubic")
+                images.append(lb)
+                geoms.append(geom)
+                originals.append(image_o)
+            batch = np.asarray(images, np.float32)
+            cands, counts = self.detect_batch(batch)
+            for k, fn in enumerate(chunk):
+                n = int(counts[k])
+                rows = cands[k, :n]
+                boxes = unletterbox_boxes(rows[:, :4].astype(np.float64), geoms[k])
+                out = np.concatenate([boxes, rows[:, 5:6].astype(np.float64)], axis=1)
+                yield fn, originals[k], geoms[k], out
+
+    def _write_rows(self, f, file_name: str, boxes: np.ndarray):
+        """≤60 CSV rows `file,x,y,w,h,score` (face_detection.py:726-738)."""
+        count = 1
+        base = file_name.split(os.sep)[-1]
+        for row in boxes:
+            if count > 60:
+                break
+            xmin, ymin, xmax, ymax, score = row
+            f.write(
+                f"{base},{xmin},{ymin},{xmax - xmin},{ymax - ymin},{score}\n"
+            )
+            count += 1
+
+    def evaluate(self):
+        import pandas as pd
+
+        test_path = self.conf.test_path
+        output_file_path = self.conf.output_file_path
+        results_dir = os.path.join(test_path, "results")
+        if os.path.isdir(results_dir):
+            shutil.rmtree(results_dir)
+        os.mkdir(results_dir)
+
+        gt_df = pd.read_csv(os.path.join(test_path, "validation.csv"))
+        gt_groups = gt_df.groupby("FILE")
+        file_names = glob.glob(os.path.join(test_path, "*.jpg"))
+        ratios = []
+
+        count1 = 1
+        with open(output_file_path, "w") as f:
+            for fn, image_o, geom, boxes in self._iter_detections(
+                file_names, int(self.hps["batch_size"])
+            ):
+                if DEBUG:
+                    print(count1, "/", len(file_names), fn)
+                count1 += 1
+                self._write_rows(f, fn, boxes)
+                if boxes.shape[0] == 0:
+                    continue
+
+                base = fn.split(os.sep)[-1]
+                try:
+                    df = gt_groups.get_group(base)
+                except KeyError:
+                    continue
+                gt_boxes = []
+                for i in range(df.shape[0]):
+                    if not bool((df.iloc[i, 3:] > 0).all()):
+                        continue
+                    xmin = int(df.iloc[i, 3])
+                    xmax = int(xmin + df.iloc[i, 5] - 1)
+                    ymin = int(df.iloc[i, 4])
+                    ymax = int(ymin + df.iloc[i, 6] - 1)
+                    gt_boxes.append(
+                        {"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax}
+                    )
+                    ratios.append((xmax - xmin) / (ymax - ymin))
+
+                from face_vijnana_yolov3_tpu.utils.drawing import draw_boxes
+
+                image1 = draw_boxes(image_o, gt_boxes, color=(255, 0, 0))
+                pred_boxes = [
+                    {"xmin": r[0], "ymin": r[1], "xmax": r[2], "ymax": r[3],
+                     "score": r[4]}
+                    for r in boxes
+                ]
+                image2 = draw_boxes(image1, pred_boxes, color=(0, 255, 0))
+                out_name = base[:-4] + "_detected" + base[-4:]
+                imsave(os.path.join(results_dir, out_name), image2)
+
+        pd.DataFrame({"ratio": ratios}).to_csv("ratios.csv")
+
+    def test(self):
+        test_path = self.conf.test_path
+        output_file_path = self.conf.output_file_path
+        file_names = glob.glob(os.path.join(test_path, "*.jpg"))
+        count1 = 1
+        with open(output_file_path, "w") as f:
+            for fn, _image_o, _geom, boxes in self._iter_detections(
+                file_names, int(self.hps["batch_size"])
+            ):
+                if DEBUG:
+                    print(count1, "/", len(file_names), fn)
+                count1 += 1
+                self._write_rows(f, fn, boxes)
+
+
+def main(argv: list[str] | None = None):
+    argv = sys.argv[1:] if argv is None else argv
+    conf_path = None
+    overrides = []
+    for a in argv:
+        if a.startswith("--conf="):
+            conf_path = a.split("=", 1)[1]
+        elif a.startswith("--set"):
+            overrides.append(a.split(" ", 1)[1] if " " in a else a[6:])
+        else:
+            overrides.append(a)
+    conf = load_conf(conf_path)
+    apply_overrides(conf, overrides)
+    fd_conf = conf.fd_conf
+
+    fd = FaceDetectorPipeline(fd_conf)
+    ts = time.time()
+    if fd_conf.mode == "train":
+        fd.train()
+    elif fd_conf.mode == "evaluate":
+        fd.evaluate()
+    elif fd_conf.mode == "test":
+        fd.test()
+    te = time.time()
+    print("Elasped time: {0:f}s".format(te - ts))  # reference output parity
+
+
+if __name__ == "__main__":
+    main()

@@ -151,6 +151,18 @@ def init_graph_params(ops: list[tuple], rng: jax.Array | None = None):
     keys = None
     if rng is not None:
         keys = iter(jax.random.split(rng, 256))
+    # Residual-ending convs (the conv immediately before each "add"): their BN
+    # gamma initializes to 0 so every residual branch starts as identity —
+    # without this, ~20 stacked adds blow random-init activations up by 2^20
+    # and the fresh-training path is numerically dead on arrival. Pretrained
+    # loads overwrite gamma, so darknet parity is unaffected.
+    residual_end: set[int] = set()
+    prev_conv_idx = None
+    for op in ops:
+        if op[0] == "conv":
+            prev_conv_idx = op[1]
+        elif op[0] == "add" and prev_conv_idx is not None:
+            residual_end.add(prev_conv_idx)
     for idx, in_c, out_c, k, _stride, bn in conv_layout(ops):
         shape = (k, k, in_c, out_c)
         if rng is None:
@@ -168,8 +180,9 @@ def init_graph_params(ops: list[tuple], rng: jax.Array | None = None):
             entry["bias"] = jnp.zeros((out_c,), jnp.float32)
         params[f"conv_{idx}"] = entry
         if bn:
+            gamma_init = 0.0 if (rng is not None and idx in residual_end) else 1.0
             params[f"bnorm_{idx}"] = {
-                "gamma": jnp.ones((out_c,), jnp.float32),
+                "gamma": jnp.full((out_c,), gamma_init, jnp.float32),
                 "beta": jnp.zeros((out_c,), jnp.float32),
             }
             state[f"bnorm_{idx}"] = {

@@ -1,0 +1,135 @@
+"""Mesh + sharding: the TPU-native replacement for Keras multi_gpu_model.
+
+The reference's only training parallelism is `multi_gpu_model(model, gpus=N)` —
+host-side batch split over in-host GPU towers (reference
+src/space/face_detection.py:369, face_identification.py:358), with no multi-node
+path. Here parallelism is declarative: one `jax.sharding.Mesh` over all devices
+with axes ('data', 'model'); the train step is a single jitted SPMD program whose
+gradient all-reduce compiles to ICI collectives (psum) — multi-host extends by
+the same program over a DCN-spanning mesh, no user code change.
+
+Axes:
+  data   — batch dimension (pure DP; grads all-reduce).
+  model  — tensor parallelism for the identifier's 173056x64 dense1 matmul:
+           the flattened trunk features and the kernel's input dim shard over
+           'model', XLA inserts the reduce-scatter/all-reduce for the partial
+           products. The conv trunk stays replicated over 'model' (at 40M params
+           it fits every chip; batch DP is the right axis for convs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: int | None = None, model_axis: int = 1, devices=None
+) -> Mesh:
+    """Mesh of shape (data = n/model_axis, model = model_axis)."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    if n_devices % model_axis != 0:
+        raise ValueError(f"{n_devices} devices not divisible by model={model_axis}")
+    grid = devices.reshape(n_devices // model_axis, model_axis)
+    return Mesh(grid, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_identifier_params(mesh: Mesh, params: Any) -> Any:
+    """Sharding tree for identifier params: dense1 kernel split over 'model'
+    (input dim — the 173056-wide flatten axis), everything else replicated."""
+    shardings = jax.tree.map(lambda _: replicated(mesh), params)
+    if "dense1" in params:
+        shardings["dense1"] = {
+            "kernel": NamedSharding(mesh, P("model", None)),
+            "bias": replicated(mesh),
+        }
+    return shardings
+
+
+def put_tree(tree: Any, sharding_tree: Any) -> Any:
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), tree, sharding_tree,
+        is_leaf=lambda x: isinstance(x, (jnp.ndarray, np.ndarray)),
+    )
+
+
+# ------------------------------------------------------------------ detector
+
+def build_detector_train_step(model, tx: optax.GradientTransformation, mesh: Mesh):
+    """One SPMD training step for the face detector.
+
+    params/state/opt_state replicated; (images, gts) sharded over 'data'. The
+    loss means over the global batch, so d(loss)/d(params) triggers XLA's psum
+    over 'data' — that all-reduce IS the multi-device gradient sync.
+    """
+    repl = replicated(mesh)
+    data = batch_sharded(mesh)
+
+    def step(params, state, opt_state, images, gts):
+        def loss_fn(p):
+            pred, new_state = model.apply(p, state, images, train=True)
+            return model.loss(pred, gts), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_state, new_opt_state, loss
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, repl, data, data),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1, 2),
+    )
+
+
+# ------------------------------------------------------------------ identifier
+
+def build_identifier_train_step(model, tx: optax.GradientTransformation, mesh: Mesh):
+    """SPMD triplet training step: DP over batch + TP over dense1's input dim."""
+    repl = replicated(mesh)
+    data = batch_sharded(mesh)
+
+    def step(params, state, opt_state, anchors, positives, negatives):
+        def loss_fn(p):
+            out, new_state = model.triplet_forward(
+                p, state, anchors, positives, negatives, train=True
+            )
+            return model.triplet_loss(out, dim=model.dense1_dim), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_state, new_opt_state, loss
+
+    param_sharding = None  # resolved at first call via in_shardings below
+
+    def make(params_template):
+        nonlocal param_sharding
+        param_sharding = shard_identifier_params(mesh, params_template)
+        return jax.jit(
+            step,
+            in_shardings=(param_sharding, repl, None, data, data, data),
+            out_shardings=(param_sharding, repl, None, repl),
+            donate_argnums=(0, 1, 2),
+        )
+
+    return make

@@ -1,0 +1,216 @@
+"""Training loops (the reference's fit_generator replacement).
+
+Epoch/step structure mirrors the reference (steps = ceil(N/batch), remainder in
+the final batch — reference src/space/face_detection.py:87-90,:103), with the
+keras Sequence multiprocessing replaced by the threaded device-prefetch pipeline
+and the Keras multi-GPU wrapper replaced by the SPMD mesh step.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from face_vijnana_yolov3_tpu.data.pipeline import prefetch_batches
+from face_vijnana_yolov3_tpu.parallel import mesh as mesh_lib
+from face_vijnana_yolov3_tpu.train.optimizer import keras_adam
+
+
+def _pad_batch(images: np.ndarray, gts: np.ndarray, batch_size: int, n_dev: int):
+    """Pad a remainder batch up to a shardable size with zero-weight rows.
+
+    The reference feeds the true remainder (its towers just get fewer rows);
+    SPMD needs the batch divisible by the data axis. Padding rows replicate row 0
+    and a weight vector marks them so the loss ignores them.
+    """
+    n = images.shape[0]
+    target = max(batch_size, n_dev)
+    if target % n_dev:
+        target += n_dev - target % n_dev
+    if n == target:
+        return images, gts, np.ones(n, np.float32)
+    pad = target - n
+    images = np.concatenate([images, np.repeat(images[:1], pad, axis=0)])
+    gts = np.concatenate([gts, np.repeat(gts[:1], pad, axis=0)])
+    weights = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+    return images, gts, weights
+
+
+def train_detector(
+    model,
+    params,
+    state,
+    dataset,
+    hps: dict,
+    *,
+    mesh=None,
+    log_every: int = 1,
+    checkpoint_path: str | None = None,
+):
+    """Train the face detector; returns (params, state, losses).
+
+    hps: lr/beta_1/beta_2/decay/epochs/batch_size (reference hps schema). Writes
+    hps['step'] back like the reference's Sequence does.
+    """
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    batch_size = int(hps["batch_size"])
+    steps = dataset.steps(batch_size)
+    hps["step"] = steps  # reference runtime-overwrite quirk (face_detection.py:87-90)
+
+    tx = keras_adam(hps["lr"], hps["beta_1"], hps["beta_2"], hps["decay"])
+    opt_state = tx.init(params)
+
+    n_dev = mesh.devices.size
+    repl = mesh_lib.replicated(mesh)
+    data = mesh_lib.batch_sharded(mesh)
+
+    def step_fn(params, state, opt_state, images, gts, weights):
+        def loss_fn(p):
+            pred, new_state = model.apply(p, state, images, train=True)
+            # Weighted MSE so shard-padding rows are inert; with all-ones weights
+            # this is exactly Keras loss='mse'.
+            per = jax.numpy.mean(
+                jax.numpy.square(pred - gts), axis=(1, 2, 3)
+            )
+            loss = jax.numpy.sum(per * weights) / jax.numpy.sum(weights)
+            return loss, new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return new_params, new_state, new_opt_state, loss
+
+    jit_step = jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, repl, data, data, data),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1, 2),
+    )
+
+    params = jax.device_put(params, repl)
+    state = jax.device_put(state, repl)
+    opt_state = jax.device_put(opt_state, repl)
+
+    losses = []
+    for epoch in range(int(hps["epochs"])):
+        t0 = time.time()
+
+        def make_batch(i):
+            images, gts = dataset.batch(i, batch_size)
+            return _pad_batch(images, gts, batch_size, n_dev)
+
+        for bi, (images, gts, weights) in enumerate(
+            prefetch_batches(make_batch, steps)
+        ):
+            params, state, opt_state, loss = jit_step(
+                params, state, opt_state, images, gts, weights
+            )
+            losses.append(loss)
+        if log_every and (epoch % log_every == 0):
+            print(
+                f"epoch {epoch + 1}/{hps['epochs']}  "
+                f"loss {float(losses[-1]):.6f}  {time.time() - t0:.1f}s"
+            )
+
+    losses = [float(l) for l in losses]
+    if checkpoint_path:
+        from face_vijnana_yolov3_tpu.core.checkpoints import save_checkpoint
+
+        save_checkpoint(
+            checkpoint_path,
+            {"params": params, "state": state, "opt_state": opt_state},
+        )
+    return params, state, losses
+
+
+def train_identifier(
+    model,
+    params,
+    state,
+    triplet_dataset,
+    hps: dict,
+    *,
+    mesh=None,
+    checkpoint_path: str | None = None,
+):
+    """Train the triplet embedder; returns (params, state, losses)."""
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    batch_size = int(hps["batch_size"])
+    steps = triplet_dataset.steps(batch_size)
+    hps["step"] = steps
+
+    tx = keras_adam(hps["lr"], hps["beta_1"], hps["beta_2"], hps["decay"])
+    opt_state = tx.init(params)
+
+    repl = mesh_lib.replicated(mesh)
+    data = mesh_lib.batch_sharded(mesh)
+    n_dev = mesh.devices.size
+
+    def step_fn(params, state, opt_state, a, p, n, weights):
+        def loss_fn(prm):
+            out, new_state = model.triplet_forward(
+                prm, state, a, p, n, train=True
+            )
+            d = model.dense1_dim
+            ea, ep, en = out[:, :d], out[:, d : 2 * d], out[:, 2 * d :]
+            d_ap = jax.numpy.sqrt(jax.numpy.sum((ea - ep) ** 2, axis=-1))
+            d_an = jax.numpy.sqrt(jax.numpy.sum((ea - en) ** 2, axis=-1))
+            per = jax.numpy.maximum(d_ap - d_an + 0.2, 0.0)
+            loss = jax.numpy.sum(per * weights) / jax.numpy.sum(weights)
+            return loss, new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda x, u: x + u, params, updates)
+        return new_params, new_state, new_opt_state, loss
+
+    jit_step = jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, repl, data, data, data, data),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1, 2),
+    )
+
+    params = jax.device_put(params, repl)
+    state = jax.device_put(state, repl)
+    opt_state = jax.device_put(opt_state, repl)
+
+    losses = []
+    for epoch in range(int(hps["epochs"])):
+
+        def make_batch(i):
+            a, p, n = triplet_dataset.batch(i, batch_size)
+            nb = a.shape[0]
+            target = max(batch_size, n_dev)
+            if target % n_dev:
+                target += n_dev - target % n_dev
+            if nb < target:
+                pad = target - nb
+                a = np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+                p = np.concatenate([p, np.repeat(p[:1], pad, axis=0)])
+                n = np.concatenate([n, np.repeat(n[:1], pad, axis=0)])
+                w = np.concatenate([np.ones(nb, np.float32), np.zeros(pad, np.float32)])
+            else:
+                w = np.ones(nb, np.float32)
+            return a, p, n, w
+
+        for a, p, n, w in prefetch_batches(make_batch, steps):
+            params, state, opt_state, loss = jit_step(
+                params, state, opt_state, a, p, n, w
+            )
+            losses.append(loss)
+        print(f"identifier epoch {epoch + 1}: loss {float(losses[-1]):.6f}")
+
+    losses = [float(l) for l in losses]
+    if checkpoint_path:
+        from face_vijnana_yolov3_tpu.core.checkpoints import save_checkpoint
+
+        save_checkpoint(
+            checkpoint_path,
+            {"params": params, "state": state, "opt_state": opt_state},
+        )
+    return params, state, losses

@@ -1,0 +1,242 @@
+"""Data pipeline, config, eval-harness, and end-to-end CLI-mode tests."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from face_vijnana_yolov3_tpu.api.config import load_conf, apply_overrides, Conf
+from face_vijnana_yolov3_tpu.data.uccs import build_gt_tensor, DetectionDataset
+from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_geometry
+from face_vijnana_yolov3_tpu.evals.detection import cal_mAP_fd, map_sweep
+from face_vijnana_yolov3_tpu.evals.identification import cal_acc_fi
+
+
+# ------------------------------------------------------------------ config
+
+def test_config_load_reference_schema(tmp_path):
+    data = {
+        "fd_conf": {
+            "mode": "evaluate",
+            "raw_data_path": "/data",
+            "hps": {"lr": 0.001, "batch_size": 8},
+            "nn_arch": {"image_size": 416},
+        },
+        "fi_conf": {"mode": "fid_db", "hps": {"sim_th": 0.3}},
+    }
+    p = tmp_path / "conf.json"
+    p.write_text(json.dumps(data))
+    conf = load_conf(str(p))
+    assert conf.fd_conf.mode == "evaluate"
+    assert conf.fd_conf.hps.lr == 0.001
+    assert conf.fd_conf.hps.batch_size == 8
+    assert conf.fd_conf.hps.beta_1 == 0.99  # default preserved
+    assert conf.fi_conf.hps.sim_th == 0.3
+
+
+def test_config_overrides():
+    conf = Conf()
+    apply_overrides(conf, ["fd_conf.mode=test", "fd_conf.hps.lr=0.01"])
+    assert conf.fd_conf.mode == "test"
+    assert conf.fd_conf.hps.lr == 0.01
+    with pytest.raises(KeyError):
+        apply_overrides(conf, ["fd_conf.nope=1"])
+
+
+# ------------------------------------------------------------------ GT tensor
+
+def test_gt_tensor_handcrafted_square():
+    df = pd.DataFrame(
+        {
+            "FACE_ID": [1],
+            "FILE": ["a.jpg"],
+            "SUBJECT_ID": [7],
+            "FACE_X": [100],
+            "FACE_Y": [150],
+            "FACE_WIDTH": [50],
+            "FACE_HEIGHT": [60],
+        }
+    )
+    geom = letterbox_geometry(416, 416, 416)
+    gt = build_gt_tensor(df, geom)
+    assert gt[5, 3, 0] == 1.0 and gt[5, 3, 5] == 1.0
+    assert gt[5, 3, 1] == pytest.approx((124 - 96) / 32)
+    assert gt[5, 3, 2] == pytest.approx((179 - 160) / 32)
+    assert gt[5, 3, 3] == pytest.approx(50 / 416)
+    assert gt[5, 3, 4] == pytest.approx(60 / 416)
+    assert np.count_nonzero(gt) == 6
+
+
+def test_gt_tensor_landscape_pad_and_invalid_rows():
+    # 800x600 landscape: pad_t from the reference math shifts y.
+    df = pd.DataFrame(
+        {
+            "FACE_ID": [1, 2],
+            "FILE": ["a.jpg", "a.jpg"],
+            "SUBJECT_ID": [7, 8],
+            "FACE_X": [400, -5],     # second row invalid (negative coord)
+            "FACE_Y": [300, 10],
+            "FACE_WIDTH": [80, 40],
+            "FACE_HEIGHT": [60, 40],
+        }
+    )
+    geom = letterbox_geometry(600, 800, 416)
+    gt = build_gt_tensor(df, geom)
+    # Exact reference math re-derived:
+    x1, y1 = 400, 300
+    x2, y2 = 400 + 80 - 1, 300 + 60 - 1
+    x1_p = int(x1 / 800 * 416)
+    x2_p = int(x2 / 800 * 416)
+    y1_p = int(y1 / 800 * 416) + geom.pad_t
+    y2_p = int(y2 / 800 * 416) + geom.pad_t
+    xc, yc = (x1_p + x2_p) // 2, (y1_p + y2_p) // 2
+    cx, cy = xc // 32, yc // 32
+    assert gt[cy, cx, 0] == 1.0
+    assert gt[cy, cx, 3] == pytest.approx(80 / 800)
+    assert np.count_nonzero(gt) == 6  # invalid row contributed nothing
+
+
+# ------------------------------------------------------------------ mAP harness
+
+def _write_map_fixture(tmp_path):
+    gt = pd.DataFrame(
+        {
+            "FACE_ID": [1, 2],
+            "FILE": ["a.jpg", "a.jpg"],
+            "SUBJECT_ID": [7, 8],
+            "FACE_X": [10, 100],
+            "FACE_Y": [10, 100],
+            "FACE_WIDTH": [20, 20],
+            "FACE_HEIGHT": [20, 20],
+        }
+    )
+    gt_path = tmp_path / "validation.csv"
+    gt.to_csv(gt_path, index=False)
+    sol_path = tmp_path / "solution_fd.csv"
+    sol_path.write_text(
+        "a.jpg,10,10,20,20,0.9\n"    # IoU 1.0 with gt1
+        "a.jpg,100,105,20,20,0.8\n"  # IoU 0.6 with gt2
+        "a.jpg,300,300,10,10,0.7\n"  # no overlap
+    )
+    return str(gt_path), str(sol_path)
+
+
+def test_cal_map_fd_handcrafted(tmp_path):
+    gt_path, sol_path = _write_map_fixture(tmp_path)
+    ps, rs, ap = cal_mAP_fd(gt_path, sol_path, 0.5)
+    np.testing.assert_allclose(ps, [1.0, 1.0, 2 / 3])
+    np.testing.assert_allclose(rs, [0.5, 1.0, 1.0])
+    assert ap == pytest.approx(0.5, abs=1e-6)
+    # At IoU 0.7 only the perfect box is TP and recall never moves past 0.5.
+    ps2, rs2, ap2 = cal_mAP_fd(gt_path, sol_path, 0.7)
+    np.testing.assert_allclose(rs2, [0.5, 0.5, 0.5])
+    assert ap2 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_map_sweep_writes_h5(tmp_path, monkeypatch):
+    gt_path, sol_path = _write_map_fixture(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    ps_ls, rs_ls, map_ls = map_sweep(gt_path, sol_path)
+    assert map_ls.shape == (10,)
+    assert map_ls[0] == pytest.approx(0.5, abs=1e-6)
+    import h5py
+
+    with h5py.File(tmp_path / "p_r_curve.h5", "r") as f:
+        assert set(f.keys()) == {"ps_ls", "rs_ls", "mAP_ls"}
+
+
+def test_cal_acc_fi_handcrafted(tmp_path):
+    gt = pd.DataFrame(
+        {
+            "FACE_ID": [1, 2],
+            "FILE": ["a.jpg", "a.jpg"],
+            "SUBJECT_ID": [7, -1],
+            "FACE_X": [10, 100],
+            "FACE_Y": [10, 100],
+            "FACE_WIDTH": [20, 20],
+            "FACE_HEIGHT": [20, 20],
+        }
+    )
+    gt_path = tmp_path / "validation.csv"
+    gt.to_csv(gt_path, index=False)
+    sol_path = tmp_path / "solution_fi.csv"
+    sol_path.write_text(
+        "a.jpg,7,10,10,20,20,0.9\n"    # matches gt1, right subject → TP
+        "a.jpg,9,100,100,20,20,0.8\n"  # matches gt2 (sid -1), iou 1.0, ids differ → FP
+    )
+    tp, fp, tn, fn, acc = cal_acc_fi(str(gt_path), str(sol_path), 0.5)
+    assert (tp, fp) == (1, 1)
+    assert tn == 0 and fn == 0
+    assert acc == pytest.approx(0.5)
+
+
+# ------------------------------------------------------------------ end-to-end CLI modes
+
+def _make_synthetic_testdir(tmp_path, n_images=3):
+    from face_vijnana_yolov3_tpu.utils.io import imsave
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(n_images):
+        img = (rng.uniform(0, 255, size=(240, 320, 3))).astype(np.uint8)
+        name = f"img_{i}.jpg"
+        imsave(str(tmp_path / name), img)
+        rows.append(
+            {
+                "FACE_ID": i,
+                "FILE": name,
+                "SUBJECT_ID": i,
+                "FACE_X": 50,
+                "FACE_Y": 60,
+                "FACE_WIDTH": 40,
+                "FACE_HEIGHT": 40,
+            }
+        )
+    pd.DataFrame(rows).to_csv(tmp_path / "validation.csv", index=False)
+    pd.DataFrame(rows).to_csv(tmp_path / "training.csv", index=False)
+    return tmp_path
+
+
+def test_face_detection_evaluate_and_test_modes(tmp_path, monkeypatch):
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+
+    testdir = _make_synthetic_testdir(tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    conf = FdConf(
+        mode="evaluate",
+        test_path=str(testdir),
+        output_file_path=str(tmp_path / "solution_fd.csv"),
+        weights_path="does_not_exist.weights",  # random init path
+    )
+    conf.hps.face_conf_th = 0.05  # random trunk scores hover near 0.25
+    conf.hps.batch_size = 2
+    fd = FaceDetectorPipeline(conf)
+    fd.evaluate()
+
+    sol = pd.read_csv(tmp_path / "solution_fd.csv", header=None)
+    assert sol.shape[1] == 6
+    assert set(sol[0]) <= {f"img_{i}.jpg" for i in range(3)}
+    assert (sol.groupby(0).size() <= 60).all()
+    assert os.path.isdir(testdir / "results")
+    assert os.path.exists(tmp_path / "ratios.csv")
+
+    # test mode: CSV only
+    conf.output_file_path = str(tmp_path / "solution_fd_test.csv")
+    fd.test()
+    sol2 = pd.read_csv(tmp_path / "solution_fd_test.csv", header=None)
+    pd.testing.assert_frame_equal(sol, sol2)
+
+
+def test_detection_dataset_batches(tmp_path):
+    testdir = _make_synthetic_testdir(tmp_path)
+    ds = DetectionDataset(str(testdir))
+    assert len(ds) == 3
+    assert ds.steps(2) == 2
+    imgs, gts = ds.batch(1, 2)  # final remainder batch
+    assert imgs.shape == (1, 416, 416, 3)
+    assert gts.shape == (1, 13, 13, 6)
+    assert gts.sum() > 0

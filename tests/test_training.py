@@ -1,0 +1,119 @@
+"""Optimizer semantics, mesh construction, and SPMD training smoke tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from face_vijnana_yolov3_tpu.train.optimizer import keras_adam
+from face_vijnana_yolov3_tpu.parallel import mesh as mesh_lib
+from face_vijnana_yolov3_tpu.models.detector import FaceDetectorModel
+
+
+def test_keras_adam_first_step_matches_hand_math():
+    lr, b1, b2, eps = 0.1, 0.9, 0.999, 1e-7
+    tx = keras_adam(lr, b1, b2, 0.0, eps)
+    params = {"w": jnp.asarray([1.0, 2.0])}
+    grads = {"w": jnp.asarray([0.5, -1.0])}
+    state = tx.init(params)
+    updates, state = tx.update(grads, state, params)
+    # t=1: m=(1-b1)g, v=(1-b2)g^2, a=lr*sqrt(1-b2)/(1-b1)
+    g = np.array([0.5, -1.0])
+    m = (1 - b1) * g
+    v = (1 - b2) * g * g
+    a = lr * np.sqrt(1 - b2) / (1 - b1)
+    want = -a * m / (np.sqrt(v) + eps)
+    np.testing.assert_allclose(np.asarray(updates["w"]), want, rtol=1e-5)
+
+
+def test_keras_adam_decay_schedule():
+    tx = keras_adam(1.0, 0.9, 0.999, decay=1.0)
+    params = {"w": jnp.zeros(1)}
+    state = tx.init(params)
+    g = {"w": jnp.ones(1)}
+    u1, state = tx.update(g, state, params)
+    u2, state = tx.update(g, state, params)
+    # lr_t halves at t=1 (1/(1+1)), thirds at t=2 — update magnitude shrinks.
+    assert abs(float(u2["w"][0])) < abs(float(u1["w"][0]))
+
+
+def test_make_mesh_shapes():
+    mesh = mesh_lib.make_mesh(8)
+    assert mesh.devices.shape == (8, 1)
+    assert mesh.axis_names == ("data", "model")
+    mesh2 = mesh_lib.make_mesh(8, model_axis=2)
+    assert mesh2.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh(8, model_axis=3)
+
+
+class _FakeDetectionDataset:
+    """Deterministic synthetic detection batches (no disk IO)."""
+
+    def __init__(self, n=16, image_size=64):
+        rng = np.random.default_rng(0)
+        self.images = rng.uniform(size=(n, image_size, image_size, 3)).astype(
+            np.float32
+        )
+        self.gts = np.zeros((n, image_size // 32, image_size // 32, 6), np.float32)
+        self.gts[:, 0, 0] = [1.0, 0.5, 0.5, 0.3, 0.3, 1.0]
+
+    def steps(self, batch_size):
+        n = self.images.shape[0]
+        return n // batch_size + (1 if n % batch_size else 0)
+
+    def batch(self, i, batch_size):
+        s = i * batch_size
+        return self.images[s : s + batch_size], self.gts[s : s + batch_size]
+
+
+def test_train_detector_spmd_loss_decreases():
+    from face_vijnana_yolov3_tpu.train.trainer import train_detector
+
+    model = FaceDetectorModel(image_size=32)
+    params, state = model.init(jax.random.PRNGKey(0))
+    # One fixed batch repeated: deterministic descent, no sampling noise.
+    dataset = _FakeDetectionDataset(n=8, image_size=32)
+    hps = {
+        "lr": 1e-3, "beta_1": 0.9, "beta_2": 0.999, "decay": 0.0,
+        "epochs": 6, "batch_size": 8, "step": 1,
+    }
+    mesh = mesh_lib.make_mesh(8)
+    params, state, losses = train_detector(
+        model, params, state, dataset, hps, mesh=mesh, log_every=0
+    )
+    assert hps["step"] == 1  # runtime overwrite quirk preserved
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_train_detector_remainder_batch_padding():
+    from face_vijnana_yolov3_tpu.train.trainer import _pad_batch
+
+    images = np.ones((5, 8, 8, 3), np.float32)
+    gts = np.ones((5, 1, 1, 6), np.float32)
+    im2, gt2, w = _pad_batch(images, gts, batch_size=8, n_dev=8)
+    assert im2.shape[0] == 8 and w.sum() == 5
+    im3, gt3, w3 = _pad_batch(images, gts, batch_size=5, n_dev=4)
+    assert im3.shape[0] == 8 and w3.sum() == 5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from face_vijnana_yolov3_tpu.core.checkpoints import (
+        save_checkpoint,
+        load_checkpoint,
+        checkpoint_exists,
+    )
+
+    tree = {
+        "params": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)},
+        "step": jnp.asarray(7),
+    }
+    path = str(tmp_path / "ckpt")
+    assert not checkpoint_exists(path)
+    save_checkpoint(path, tree)
+    assert checkpoint_exists(path)
+    back = load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(back["params"]["w"]),
+                                  np.arange(6, dtype=np.float32).reshape(2, 3))
+    assert int(back["step"]) == 7
