@@ -18,6 +18,10 @@ import numpy as np
 
 def main():
     import jax
+    sys.path.insert(0, ".")
+    from face_vijnana_yolov3_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")

@@ -44,7 +44,7 @@ class FaceDetectorPipeline:
             vars(conf.nn_arch) if not isinstance(conf.nn_arch, dict) else conf.nn_arch
         )
         self.image_size = self.nn_arch["image_size"]
-        self.grid = 13
+        self.grid = self.image_size // 32  # 13 at the reference's 416
         self.cell_image_size = self.image_size // self.grid
         self.precision = precision
         self.model = FaceDetectorModel(
@@ -263,6 +263,9 @@ class FaceDetectorPipeline:
 
 
 def main(argv: list[str] | None = None):
+    from face_vijnana_yolov3_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
     argv = sys.argv[1:] if argv is None else argv
     conf_path = None
     overrides = []

@@ -1,0 +1,360 @@
+"""Face identification entry point: data / train / evaluate / test / fid_db.
+
+Mode-for-mode equivalent of the reference `face_identification.py` main
+(reference src/space/face_identification.py:1716-1776), emitting
+`solution_fi.csv` rows `file,subject_id,x,y,w,h,score`, `results_fi/` overlays,
+and the subject DB artifacts (see data/facedb.py).
+
+TPU-native differences: all crops of an image embed in ONE padded batched device
+call (the reference runs fid_extractor.predict per crop — one device round trip
+each, :915), and registry matching is a device distance-matrix op instead of a
+python loop over subjects (:919-925).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+import shutil
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from face_vijnana_yolov3_tpu.api.config import Conf, load_conf, apply_overrides
+from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+from face_vijnana_yolov3_tpu.models.identifier import FaceIdentifierModel
+from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_host, unletterbox_boxes
+from face_vijnana_yolov3_tpu.ops.similarity import match_embeddings
+from face_vijnana_yolov3_tpu.utils.io import imread, imsave
+
+DEBUG = True
+
+RESOURCE_TYPE_UCCS = "uccs"
+RESOURCE_TYPE_VGGFACE2 = "vggface2"
+
+_EMBED_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+def create_db_fi(fi_conf):
+    """`data` mode: build the subject-face DB (reference create_db_fi,
+    face_identification.py:78-210). Model-free, like the reference."""
+    from face_vijnana_yolov3_tpu.data import facedb
+
+    image_size = (
+        fi_conf.nn_arch.image_size
+        if not isinstance(fi_conf.nn_arch, dict)
+        else fi_conf.nn_arch["image_size"]
+    )
+    if fi_conf.resource_type == RESOURCE_TYPE_UCCS:
+        facedb.create_subject_db_uccs(fi_conf.raw_data_path, image_size)
+    elif fi_conf.resource_type == RESOURCE_TYPE_VGGFACE2:
+        facedb.create_subject_db_vggface2(fi_conf.raw_data_path, image_size)
+    else:
+        raise ValueError("resource type is not valid.")
+
+
+class FaceIdentifierPipeline:
+    def __init__(self, conf: Conf, *, precision: str = "float32"):
+        self.conf = conf.fi_conf
+        self.fd_conf = conf.fd_conf
+        self.hps = vars(self.conf.hps)
+        self.nn_arch = vars(self.conf.nn_arch)
+        self.image_size = self.nn_arch["image_size"]
+        self.precision = precision
+        self.model = FaceIdentifierModel(
+            image_size=self.image_size, dense1_dim=self.nn_arch["dense1_dim"]
+        )
+
+        if self.conf.model_loading:
+            from face_vijnana_yolov3_tpu.core.checkpoints import load_checkpoint
+
+            ckpt = load_checkpoint(self.conf.model_path)
+            self.params, self.state = ckpt["params"], ckpt["state"]
+        elif os.path.exists(self.conf.weights_path):
+            self.params, self.state = self.model.init_from_darknet(
+                self.conf.weights_path, jax.random.PRNGKey(1)
+            )
+        else:
+            print(
+                f"[face_identification] {self.conf.weights_path} not found — "
+                "random-initializing trunk"
+            )
+            self.params, self.state = self.model.init(jax.random.PRNGKey(1))
+
+        # Nested full detector, like the reference's FaceIdentifier.__init__
+        # (face_identification.py:373).
+        self.fd = FaceDetectorPipeline(self.fd_conf, precision=precision)
+        self._embed_cache: dict[int, object] = {}
+
+    # -------------------------------------------------------------- embedding
+
+    def _embed_fn(self, bucket: int):
+        if bucket not in self._embed_cache:
+            params, state = self.params, self.state
+            dtype = (
+                jnp.bfloat16 if self.precision == "bfloat16" else jnp.float32
+            )
+
+            @jax.jit
+            def run(images):
+                emb, _ = self.model.embed(
+                    params, state, images, train=False, compute_dtype=dtype
+                )
+                return emb
+
+            self._embed_cache[bucket] = run
+        return self._embed_cache[bucket]
+
+    def embed(self, images: np.ndarray) -> np.ndarray:
+        """fid extractor: (B,S,S,3) → (B,D), bucket-padded so a handful of
+        compiled programs serve every batch size."""
+        n = images.shape[0]
+        bucket = next((b for b in _EMBED_BUCKETS if b >= n), None)
+        if bucket is None:
+            out = [
+                self.embed(images[s : s + _EMBED_BUCKETS[-1]])
+                for s in range(0, n, _EMBED_BUCKETS[-1])
+            ]
+            return np.concatenate(out)
+        padded = images
+        if n < bucket:
+            padded = np.concatenate(
+                [images, np.zeros((bucket - n, *images.shape[1:]), images.dtype)]
+            )
+        emb = self._embed_fn(bucket)(jnp.asarray(padded, jnp.float32))
+        return np.asarray(emb)[:n]
+
+    # -------------------------------------------------------------- db names
+
+    def _db_names(self):
+        if self.conf.resource_type == RESOURCE_TYPE_UCCS:
+            return ("subject_image_db.csv", "subject_faces",
+                    "subject_facial_ids.h5", "ref_facial_id_db.pickle",
+                    "img_triplet_pairs.pickle")
+        if self.conf.resource_type == RESOURCE_TYPE_VGGFACE2:
+            return ("subject_image_vggface2_db.csv", "subject_faces_vggface2",
+                    "subject_facial_vggface2_ids.h5",
+                    "ref_facial_id_vggface2_db.pickle",
+                    "img_triplet_pairs_vggface2.pickle")
+        raise ValueError("resource type is not valid.")
+
+    # -------------------------------------------------------------- modes
+
+    def create_db(self):
+        create_db_fi(self.conf)
+
+    def train(self):
+        from face_vijnana_yolov3_tpu.data.facedb import TripletDataset
+        from face_vijnana_yolov3_tpu.train.trainer import train_identifier
+
+        db_csv, faces_subdir, _, _, pairs_pickle = self._db_names()
+        dataset = TripletDataset(
+            self.conf.raw_data_path,
+            db_csv=db_csv,
+            faces_subdir=faces_subdir,
+            pairs_pickle=pairs_pickle,
+            load_flag=False,
+        )
+        self.params, self.state, losses = train_identifier(
+            self.model,
+            self.params,
+            self.state,
+            dataset,
+            self.hps,
+            checkpoint_path=self.conf.model_path,
+        )
+        self._embed_cache.clear()
+        print("Save the model.")
+        return losses
+
+    def make_facial_ids_db(self):
+        from face_vijnana_yolov3_tpu.data.facedb import make_facial_ids_db
+
+        db_csv, faces_subdir, ids_h5, _, _ = self._db_names()
+        make_facial_ids_db(
+            self.embed, self.conf.raw_data_path, db_csv, faces_subdir, ids_h5
+        )
+
+    def register_facial_ids(self):
+        from face_vijnana_yolov3_tpu.data.facedb import register_facial_ids
+
+        db_csv, faces_subdir, _, reg_pickle, _ = self._db_names()
+        return register_facial_ids(
+            self.embed, self.conf.raw_data_path, db_csv, faces_subdir, reg_pickle
+        )
+
+    # -------------------------------------------------------------- identify
+
+    def _load_registry(self):
+        _, _, _, reg_pickle, _ = self._db_names()
+        with open(reg_pickle, "rb") as f:
+            registry = pickle.load(f)
+        subject_ids = list(registry.keys())
+        reg = np.asarray([registry[s] for s in subject_ids], np.float32)
+        return subject_ids, reg
+
+    def _identify_image(self, image_o: np.ndarray, boxes: np.ndarray,
+                        subject_ids, reg_embs):
+        """Crop → batched embed → device registry match; returns row dicts.
+
+        Crop semantics are the reference's exactly (face_identification.py:
+        872-912): int() box corners, the (t-1):(b-1) off-by-one slice from the
+        RAW image, /255, INTER_CUBIC letterbox; boxes whose crop has zero
+        width/height are skipped.
+        """
+        crops, keep = [], []
+        for k in range(boxes.shape[0]):
+            l, t, r, b = (int(boxes[k, 0]), int(boxes[k, 1]),
+                          int(boxes[k, 2]), int(boxes[k, 3]))
+            crop = image_o[(t - 1):(b - 1), (l - 1):(r - 1), :]
+            if crop.shape[0] == 0 or crop.shape[1] == 0:
+                continue
+            lb, _ = letterbox_host(crop / 255, self.image_size, "cubic")
+            crops.append(lb)
+            keep.append(k)
+        if not crops:
+            return []
+        embs = self.embed(np.asarray(crops, np.float32))
+        best_idx, best_dist = match_embeddings(
+            jnp.asarray(embs), jnp.asarray(reg_embs)
+        )
+        best_idx, best_dist = np.asarray(best_idx), np.asarray(best_dist)
+        rows = []
+        for j, k in enumerate(keep):
+            if best_dist[j] > self.hps["sim_th"]:
+                continue
+            rows.append(
+                {
+                    "box_index": k,
+                    "subject_id": subject_ids[int(best_idx[j])],
+                    "xmin": boxes[k, 0],
+                    "ymin": boxes[k, 1],
+                    "xmax": boxes[k, 2],
+                    "ymax": boxes[k, 3],
+                    "score": boxes[k, 4],
+                }
+            )
+        return rows
+
+    def _run_identification(self, draw_results: bool):
+        import pandas as pd
+
+        test_path = self.conf.test_path
+        output_file_path = self.conf.output_file_path
+        file_names = glob.glob(os.path.join(test_path, "*.jpg"))
+        subject_ids, reg_embs = self._load_registry()
+
+        gt_groups = None
+        if draw_results:
+            results_dir = os.path.join(test_path, "results_fi")
+            if os.path.isdir(results_dir):
+                shutil.rmtree(results_dir)
+            os.mkdir(results_dir)
+            gt_df = pd.read_csv(os.path.join(test_path, "validation.csv"))
+            gt_groups = gt_df.groupby("FILE")
+
+        count1 = 1
+        with open(output_file_path, "w") as f:
+            for fn, image_o, _geom, boxes in self.fd._iter_detections(
+                file_names, int(vars(self.fd_conf.hps)["batch_size"])
+            ):
+                if DEBUG:
+                    print(count1, "/", len(file_names), fn)
+                count1 += 1
+                boxes = boxes[:60]  # reference's count>60 break
+                rows = self._identify_image(
+                    image_o, boxes, subject_ids, reg_embs
+                )
+                base = fn.split(os.sep)[-1]
+                for row in rows:
+                    f.write(
+                        f"{base},{row['subject_id']},{row['xmin']},{row['ymin']},"
+                        f"{row['xmax'] - row['xmin']},"
+                        f"{row['ymax'] - row['ymin']},{row['score']}\n"
+                    )
+
+                if not draw_results:
+                    continue
+                try:
+                    df = gt_groups.get_group(base)
+                except KeyError:
+                    continue
+                gt_boxes = []
+                for i in range(df.shape[0]):
+                    if not bool((df.iloc[i, 3:] > 0).all()):
+                        continue
+                    xmin = int(df.iloc[i, 3])
+                    xmax = int(xmin + df.iloc[i, 5] - 1)
+                    ymin = int(df.iloc[i, 4])
+                    ymax = int(ymin + df.iloc[i, 6] - 1)
+                    gt_boxes.append(
+                        {"xmin": xmin, "ymin": ymin, "xmax": xmax,
+                         "ymax": ymax, "subject_id": df.iloc[i, 2]}
+                    )
+                if not gt_boxes or boxes.shape[0] == 0:
+                    continue
+                from face_vijnana_yolov3_tpu.utils.drawing import draw_boxes
+
+                image1 = draw_boxes(image_o, gt_boxes, color=(255, 0, 0))
+                pred = [
+                    {"xmin": r["xmin"], "ymin": r["ymin"], "xmax": r["xmax"],
+                     "ymax": r["ymax"], "score": r["score"],
+                     "subject_id": r["subject_id"]}
+                    for r in rows
+                ]
+                image2 = draw_boxes(image1, pred, color=(0, 255, 0))
+                out_name = base[:-4] + "_detected" + base[-4:]
+                imsave(
+                    os.path.join(test_path, "results_fi", out_name), image2
+                )
+
+    def evaluate(self):
+        self._run_identification(draw_results=True)
+
+    def test(self):
+        self._run_identification(draw_results=False)
+
+
+def main(argv: list[str] | None = None):
+    from face_vijnana_yolov3_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    argv = sys.argv[1:] if argv is None else argv
+    conf_path = None
+    overrides = []
+    for a in argv:
+        if a.startswith("--conf="):
+            conf_path = a.split("=", 1)[1]
+        else:
+            overrides.append(a)
+    conf = load_conf(conf_path)
+    apply_overrides(conf, overrides)
+    mode = conf.fi_conf.mode
+
+    ts = time.time()
+    if mode == "data":
+        create_db_fi(conf.fi_conf)
+    elif mode == "train":
+        fi = FaceIdentifierPipeline(conf)
+        fi.train()
+        fi.make_facial_ids_db()
+        fi.register_facial_ids()
+    elif mode == "evaluate":
+        fi = FaceIdentifierPipeline(conf)
+        fi.evaluate()
+    elif mode == "test":
+        fi = FaceIdentifierPipeline(conf)
+        fi.test()
+    elif mode == "fid_db":
+        fi = FaceIdentifierPipeline(conf)
+        fi.make_facial_ids_db()
+    te = time.time()
+    print("Elasped time: {0:f}s".format(te - ts))
+
+
+if __name__ == "__main__":
+    main()
