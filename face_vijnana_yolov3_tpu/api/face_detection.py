@@ -57,6 +57,7 @@ class FaceDetectorPipeline:
 
             ckpt = load_checkpoint(conf.model_path)
             self.params, self.state = ckpt["params"], ckpt["state"]
+            self.opt_state = ckpt.get("opt_state")
         elif os.path.exists(conf.weights_path):
             self.params, self.state = self.model.init_from_darknet(
                 conf.weights_path, jax.random.PRNGKey(0)
@@ -69,6 +70,8 @@ class FaceDetectorPipeline:
                 "random-initializing trunk"
             )
             self.params, self.state = self.model.init(jax.random.PRNGKey(0))
+        if not hasattr(self, "opt_state"):
+            self.opt_state = None
 
         self._pp_cfg = FacePostprocessConfig(
             image_size=self.image_size,
@@ -145,6 +148,7 @@ class FaceDetectorPipeline:
             dataset,
             self.hps,
             checkpoint_path=self.conf.model_path,
+            init_opt_state=self.opt_state,
         )
         print("Save the model.")
         return losses

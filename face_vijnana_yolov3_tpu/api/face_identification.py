@@ -74,6 +74,7 @@ class FaceIdentifierPipeline:
 
             ckpt = load_checkpoint(self.conf.model_path)
             self.params, self.state = ckpt["params"], ckpt["state"]
+            self.opt_state = ckpt.get("opt_state")
         elif os.path.exists(self.conf.weights_path):
             self.params, self.state = self.model.init_from_darknet(
                 self.conf.weights_path, jax.random.PRNGKey(1)
@@ -84,6 +85,8 @@ class FaceIdentifierPipeline:
                 "random-initializing trunk"
             )
             self.params, self.state = self.model.init(jax.random.PRNGKey(1))
+        if not hasattr(self, "opt_state"):
+            self.opt_state = None
 
         # Nested full detector, like the reference's FaceIdentifier.__init__
         # (face_identification.py:373).
@@ -166,6 +169,7 @@ class FaceIdentifierPipeline:
             dataset,
             self.hps,
             checkpoint_path=self.conf.model_path,
+            init_opt_state=self.opt_state,
         )
         self._embed_cache.clear()
         print("Save the model.")

@@ -1,0 +1,109 @@
+"""Importers for the reference's Keras HDF5 checkpoints.
+
+The reference persists whole Keras models — `face_detector.h5`
+(src/space/face_detection.py:630), `face_identifier.h5`
+(face_identification.py:643), the cached trunk `yolov3_base.h5`
+(face_detection.py:598) and the demo's `yolov3_model.h5`
+(yolov3_detect.py:585). These carry layer-named weight tensors
+(`conv_i/kernel:0`, `bnorm_i/{gamma,beta,moving_mean,moving_variance}:0`,
+`output/...`, `dense1/...`) under `model_weights`, possibly nested inside a
+`base` sub-model group. The importer is layout-agnostic: it walks the h5 tree
+collecting datasets by their weight names, then maps them onto our pytrees —
+so published reference checkpoints load directly into the TPU framework.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def collect_keras_weights(h5_path: str) -> dict[str, np.ndarray]:
+    """{'conv_0/kernel:0': array, ...} from any Keras-2.x-style h5."""
+    import h5py
+
+    out: dict[str, np.ndarray] = {}
+
+    def visit(name, obj):
+        if isinstance(obj, h5py.Dataset):
+            # Keep the trailing 'layer/weight:0' identity regardless of nesting.
+            parts = name.split("/")
+            key = "/".join(parts[-2:])
+            out[key] = np.asarray(obj)
+
+    with h5py.File(h5_path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+        root.visititems(visit)
+    return out
+
+
+def _conv_entry(weights: dict, name: str, bn: bool):
+    entry = {"kernel": jnp.asarray(weights[f"{name}/kernel:0"])}
+    if not bn:
+        entry["bias"] = jnp.asarray(weights[f"{name}/bias:0"])
+    return entry
+
+
+def _bn_entries(weights: dict, name: str):
+    params = {
+        "gamma": jnp.asarray(weights[f"{name}/gamma:0"]),
+        "beta": jnp.asarray(weights[f"{name}/beta:0"]),
+    }
+    state = {
+        "mean": jnp.asarray(weights[f"{name}/moving_mean:0"]),
+        "var": jnp.asarray(weights[f"{name}/moving_variance:0"]),
+    }
+    return params, state
+
+
+def trunk_from_keras(weights: dict):
+    """conv_0..73 (+bnorms) → (params, state) for the trunk graph."""
+    from face_vijnana_yolov3_tpu.models.darknet import trunk_graph, conv_layout
+
+    params: dict = {}
+    state: dict = {}
+    for idx, _i, _o, _k, _s, bn in conv_layout(trunk_graph()):
+        params[f"conv_{idx}"] = _conv_entry(weights, f"conv_{idx}", bn)
+        if bn:
+            bp, bs = _bn_entries(weights, f"bnorm_{idx}")
+            params[f"bnorm_{idx}"] = bp
+            state[f"bnorm_{idx}"] = bs
+    return params, state
+
+
+def detector_from_keras_h5(h5_path: str):
+    """face_detector.h5 → (params, state) incl. the 6-ch 'output' head."""
+    weights = collect_keras_weights(h5_path)
+    params, state = trunk_from_keras(weights)
+    params["head"] = {
+        "kernel": jnp.asarray(weights["output/kernel:0"]),
+        "bias": jnp.asarray(weights["output/bias:0"]),
+    }
+    return params, state
+
+
+def identifier_from_keras_h5(h5_path: str):
+    """face_identifier.h5 → (params, state) incl. dense1."""
+    weights = collect_keras_weights(h5_path)
+    params, state = trunk_from_keras(weights)
+    params["dense1"] = {
+        "kernel": jnp.asarray(weights["dense1/kernel:0"]),
+        "bias": jnp.asarray(weights["dense1/bias:0"]),
+    }
+    return params, state
+
+
+def yolov3_from_keras_h5(h5_path: str):
+    """yolov3_model.h5 (full 3-head COCO graph) → (params, state)."""
+    from face_vijnana_yolov3_tpu.models.darknet import yolov3_graph, conv_layout
+
+    weights = collect_keras_weights(h5_path)
+    params: dict = {}
+    state: dict = {}
+    for idx, _i, _o, _k, _s, bn in conv_layout(yolov3_graph()):
+        params[f"conv_{idx}"] = _conv_entry(weights, f"conv_{idx}", bn)
+        if bn:
+            bp, bs = _bn_entries(weights, f"bnorm_{idx}")
+            params[f"bnorm_{idx}"] = bp
+            state[f"bnorm_{idx}"] = bs
+    return params, state

@@ -81,6 +81,8 @@ def coco_postprocess(
     obj_th: float = 0.5,
     nms_th: float = 0.45,
     top_k: int = 256,
+    net_h: int = 416,
+    net_w: int = 416,
 ):
     """Full-COCO demo postprocess (yolov3_detect.py:593-604 pipeline).
 
@@ -98,7 +100,7 @@ def coco_postprocess(
     """
     all_boxes, all_obj, all_cls, all_mask = [], [], [], []
     for s, netout in enumerate(netouts):
-        b, o, c, m = decode_coco_scale(netout, s, obj_th)
+        b, o, c, m = decode_coco_scale(netout, s, obj_th, net_h, net_w)
         all_boxes.append(b)
         all_obj.append(o)
         all_cls.append(c)
@@ -108,7 +110,7 @@ def coco_postprocess(
     classes = jnp.concatenate(all_cls)
     mask = jnp.concatenate(all_mask)
 
-    boxes = correct_coco_boxes(boxes, image_h, image_w)
+    boxes = correct_coco_boxes(boxes, image_h, image_w, net_h, net_w)
 
     # Top-k prefilter by gated objectness.
     gated = jnp.where(mask, obj, -1.0)

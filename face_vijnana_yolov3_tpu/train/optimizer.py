@@ -28,6 +28,18 @@ class KerasAdamState(NamedTuple):
     nu: optax.Updates
 
 
+def coerce_adam_state(obj) -> "KerasAdamState | None":
+    """Rebuild a KerasAdamState from a checkpoint-restored plain dict
+    (orbax restores NamedTuples as {'count','mu','nu'} without a target)."""
+    if obj is None or isinstance(obj, KerasAdamState):
+        return obj
+    if isinstance(obj, dict) and {"count", "mu", "nu"} <= set(obj):
+        return KerasAdamState(
+            count=jnp.asarray(obj["count"]), mu=obj["mu"], nu=obj["nu"]
+        )
+    raise TypeError(f"unrecognized optimizer state: {type(obj)}")
+
+
 def keras_adam(
     lr: float,
     beta_1: float = 0.99,

@@ -15,7 +15,7 @@ import numpy as np
 
 from face_vijnana_yolov3_tpu.data.pipeline import prefetch_batches
 from face_vijnana_yolov3_tpu.parallel import mesh as mesh_lib
-from face_vijnana_yolov3_tpu.train.optimizer import keras_adam
+from face_vijnana_yolov3_tpu.train.optimizer import keras_adam, coerce_adam_state
 
 
 def _pad_batch(images: np.ndarray, gts: np.ndarray, batch_size: int, n_dev: int):
@@ -48,6 +48,7 @@ def train_detector(
     mesh=None,
     log_every: int = 1,
     checkpoint_path: str | None = None,
+    init_opt_state=None,
 ):
     """Train the face detector; returns (params, state, losses).
 
@@ -61,7 +62,11 @@ def train_detector(
     hps["step"] = steps  # reference runtime-overwrite quirk (face_detection.py:87-90)
 
     tx = keras_adam(hps["lr"], hps["beta_1"], hps["beta_2"], hps["decay"])
-    opt_state = tx.init(params)
+    opt_state = (
+        coerce_adam_state(init_opt_state)
+        if init_opt_state is not None
+        else tx.init(params)
+    )
 
     n_dev = mesh.devices.size
     repl = mesh_lib.replicated(mesh)
@@ -135,6 +140,7 @@ def train_identifier(
     *,
     mesh=None,
     checkpoint_path: str | None = None,
+    init_opt_state=None,
 ):
     """Train the triplet embedder; returns (params, state, losses)."""
     if mesh is None:
@@ -144,7 +150,11 @@ def train_identifier(
     hps["step"] = steps
 
     tx = keras_adam(hps["lr"], hps["beta_1"], hps["beta_2"], hps["decay"])
-    opt_state = tx.init(params)
+    opt_state = (
+        coerce_adam_state(init_opt_state)
+        if init_opt_state is not None
+        else tx.init(params)
+    )
 
     repl = mesh_lib.replicated(mesh)
     data = mesh_lib.batch_sharded(mesh)

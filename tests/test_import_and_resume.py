@@ -1,0 +1,129 @@
+"""Keras-h5 importer tests and checkpoint-resume (model_loading) semantics."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from face_vijnana_yolov3_tpu.models import darknet
+
+
+def _write_keras_style_h5(path, layout, extra=()):
+    """Emulate the reference's Keras 2.2.4 model h5: datasets named
+    '<layer>/<weight>:0' nested under model_weights/<group>/."""
+    import h5py
+
+    rng = np.random.default_rng(0)
+    arrays = {}
+    with h5py.File(path, "w") as f:
+        mw = f.create_group("model_weights")
+        base = mw.create_group("base")  # nested sub-model, like the reference
+        for idx, in_c, out_c, k, _s, bn in layout:
+            g = base.create_group(f"conv_{idx}")
+            kern = rng.normal(0, 0.1, (k, k, in_c, out_c)).astype(np.float32)
+            g.create_dataset(f"conv_{idx}/kernel:0".split("/")[-1], data=kern)
+            arrays[f"conv_{idx}/kernel:0"] = kern
+            if bn:
+                b = base.create_group(f"bnorm_{idx}")
+                for wname in ("gamma", "beta", "moving_mean", "moving_variance"):
+                    arr = rng.uniform(0.5, 1.5, out_c).astype(np.float32)
+                    b.create_dataset(f"{wname}:0", data=arr)
+                    arrays[f"bnorm_{idx}/{wname}:0"] = arr
+            else:
+                arr = rng.normal(0, 0.1, out_c).astype(np.float32)
+                g.create_dataset("bias:0", data=arr)
+                arrays[f"conv_{idx}/bias:0"] = arr
+        for name, shape in extra:
+            layer, wname = name.split("/")
+            g = mw.require_group(layer)
+            arr = rng.normal(0, 0.1, shape).astype(np.float32)
+            g.create_dataset(wname, data=arr)
+            arrays[name] = arrays.get(name, arr)
+    return arrays
+
+
+def test_detector_from_keras_h5(tmp_path):
+    from face_vijnana_yolov3_tpu.core.keras_import import detector_from_keras_h5
+
+    layout = darknet.conv_layout(darknet.trunk_graph())
+    path = str(tmp_path / "face_detector.h5")
+    arrays = _write_keras_style_h5(
+        path, layout,
+        extra=[("output/kernel:0", (3, 3, 1024, 6)), ("output/bias:0", (6,))],
+    )
+    params, state = detector_from_keras_h5(path)
+    np.testing.assert_array_equal(
+        np.asarray(params["conv_0"]["kernel"]), arrays["conv_0/kernel:0"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state["bnorm_12"]["mean"]), arrays["bnorm_12/moving_mean:0"]
+    )
+    assert params["head"]["kernel"].shape == (3, 3, 1024, 6)
+    # Wrong weight names must raise, not silently zero-fill.
+    with pytest.raises(KeyError):
+        from face_vijnana_yolov3_tpu.core.keras_import import (
+            identifier_from_keras_h5,
+        )
+
+        identifier_from_keras_h5(path)  # no dense1 in this file
+
+
+def test_yolov3_from_keras_h5(tmp_path):
+    from face_vijnana_yolov3_tpu.core.keras_import import yolov3_from_keras_h5
+
+    layout = darknet.conv_layout(darknet.yolov3_graph())
+    path = str(tmp_path / "yolov3_model.h5")
+    _write_keras_style_h5(path, layout)
+    params, state = yolov3_from_keras_h5(path)
+    assert params["conv_105"]["kernel"].shape == (1, 1, 256, 255)
+    assert "bias" in params["conv_81"]
+    assert "bnorm_81" not in params
+
+
+def test_model_loading_resume_roundtrip(tmp_path, monkeypatch):
+    """train → checkpoint → model_loading=true restores params AND opt state."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.data.uccs import DetectionDataset
+    import pandas as pd
+    from face_vijnana_yolov3_tpu.utils.io import imsave
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(2):
+        name = f"t{i}.jpg"
+        imsave(str(tmp_path / name),
+               rng.uniform(0, 255, (100, 120, 3)).astype(np.uint8))
+        rows.append({"FACE_ID": i, "FILE": name, "SUBJECT_ID": 1,
+                     "FACE_X": 20, "FACE_Y": 20, "FACE_WIDTH": 40,
+                     "FACE_HEIGHT": 40})
+    pd.DataFrame(rows).to_csv(tmp_path / "training.csv", index=False)
+    monkeypatch.chdir(tmp_path)
+
+    conf = FdConf(
+        raw_data_path=str(tmp_path),
+        weights_path="missing.weights",
+        model_path=str(tmp_path / "fd_ckpt"),
+    )
+    conf.nn_arch.image_size = 64
+    conf.hps.epochs = 1
+    conf.hps.batch_size = 2
+    fd = FaceDetectorPipeline(conf)
+    fd.train()
+    assert os.path.isdir(tmp_path / "fd_ckpt")
+
+    conf.model_loading = True
+    fd2 = FaceDetectorPipeline(conf)
+    np.testing.assert_array_equal(
+        np.asarray(fd2.params["head"]["kernel"]),
+        np.asarray(fd.params["head"]["kernel"]),
+    )
+    assert fd2.opt_state is not None
+    # Adam moments restored (non-zero after a step).
+    mu = fd2.opt_state["mu"] if isinstance(fd2.opt_state, dict) else fd2.opt_state.mu
+    head_mu = mu["head"]["kernel"]
+    assert np.abs(np.asarray(head_mu)).sum() > 0
+    # And training continues from the restored state without error.
+    losses = fd2.train()
+    assert np.isfinite(losses).all()
