@@ -44,7 +44,7 @@ def main():
 
     best = 0.0
     best_batch = 0
-    for batch in (32, 64):
+    for batch in (64, 128):
         try:
             # Generate inputs on device: host-side RNG for 416² batches is slow
             # on this 1-core host and irrelevant to the measured path.

@@ -218,6 +218,27 @@ def _conv2d(x, kernel, stride, k, compute_dtype):
     )
 
 
+def remat_segments(ops: list[tuple]) -> list[list[tuple]]:
+    """Split a linear (trunk-like) graph into remat segments at residual adds.
+
+    Each segment is closed over its own skip bookkeeping, so only the segment
+    boundary activation is saved for the backward pass — jax.checkpoint
+    recomputes the inside. Residual boundaries are the natural cut: after an
+    "add" nothing from inside the block is live. Graphs with cross-segment
+    routes (restore/concat — the full YOLOv3 head) are not segmentable.
+    """
+    if any(op[0] in ("restore", "concat") for op in ops):
+        raise ValueError("remat segmentation requires a linear trunk graph")
+    segments: list[list[tuple]] = [[]]
+    for op in ops:
+        segments[-1].append(op)
+        if op[0] == "add":
+            segments.append([])
+    if not segments[-1]:
+        segments.pop()
+    return segments
+
+
 def apply_graph(
     params,
     state,
@@ -226,6 +247,7 @@ def apply_graph(
     *,
     train: bool = False,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ):
     """Interpret the graph. Returns (outputs, new_state).
 
@@ -233,7 +255,36 @@ def apply_graph(
     BatchNorm normalizes by batch statistics and new_state carries the updated
     moving averages (Keras momentum-0.99 rule); with train=False the moving stats
     are used and new_state is state unchanged.
+
+    remat=True wraps each residual-block segment in jax.checkpoint: backward-pass
+    memory drops from O(all activations) to O(segment boundaries), recomputing
+    block interiors — the standard TPU HBM/FLOPs trade for big-batch training
+    (notably the identifier's 3x-stacked triplet batches).
     """
+    if remat:
+        outputs: dict[str, jnp.ndarray] = {}
+        new_state = dict(state)
+        h = x
+
+        def make_seg(seg_ops):
+            def seg_fn(h, params, state):
+                outs, st = apply_graph(
+                    params, state, h, seg_ops + [("output", "__h")],
+                    train=train, compute_dtype=compute_dtype, remat=False,
+                )
+                return outs["__h"].astype(compute_dtype), st
+
+            return jax.checkpoint(seg_fn)
+
+        for seg_ops in remat_segments(ops):
+            core = [op for op in seg_ops if op[0] != "output"]
+            h, st = make_seg(core)(h, params, state)
+            new_state.update({k: st[k] for k in st if k.startswith("bnorm_")})
+            for op in seg_ops:
+                if op[0] == "output":
+                    outputs[op[1]] = h.astype(jnp.float32)
+        return outputs, new_state
+
     saved: dict[str, jnp.ndarray] = {}
     outputs: dict[str, jnp.ndarray] = {}
     new_state = dict(state)

@@ -56,10 +56,11 @@ class FaceDetectorModel:
     # -------------------------------------------------------------- forward
 
     def apply(self, params, state, x, *, train: bool = False,
-              compute_dtype=jnp.float32):
+              compute_dtype=jnp.float32, remat: bool = False):
         """Returns ((B,13,13,6) head output, new_state)."""
         outs, new_state = darknet.apply_graph(
-            params, state, x, self.ops, train=train, compute_dtype=compute_dtype
+            params, state, x, self.ops, train=train,
+            compute_dtype=compute_dtype, remat=remat,
         )
         feat = outs["trunk"].astype(compute_dtype)
         h = jax.lax.conv_general_dilated(

@@ -57,10 +57,11 @@ class FaceIdentifierModel:
     # -------------------------------------------------------------- forward
 
     def embed(self, params, state, x, *, train: bool = False,
-              compute_dtype=jnp.float32):
+              compute_dtype=jnp.float32, remat: bool = False):
         """(B,S,S,3) → (B, dense1_dim) L2-normalized embeddings (fid extractor)."""
         outs, new_state = darknet.apply_graph(
-            params, state, x, self.ops, train=train, compute_dtype=compute_dtype
+            params, state, x, self.ops, train=train,
+            compute_dtype=compute_dtype, remat=remat,
         )
         feat = outs["trunk"]
         flat = feat.reshape(feat.shape[0], -1)  # Keras Flatten: (H,W,C) row-major
@@ -84,12 +85,14 @@ class FaceIdentifierModel:
         return (h / norm).astype(jnp.float32), new_state
 
     def triplet_forward(self, params, state, anchors, positives, negatives, *,
-                        train: bool = False, compute_dtype=jnp.float32):
+                        train: bool = False, compute_dtype=jnp.float32,
+                        remat: bool = False):
         """One fused forward of the [a;p;n] stack → (B, 3*dense1_dim) output."""
         b = anchors.shape[0]
         stacked = jnp.concatenate([anchors, positives, negatives], axis=0)
         emb, new_state = self.embed(
-            params, state, stacked, train=train, compute_dtype=compute_dtype
+            params, state, stacked, train=train, compute_dtype=compute_dtype,
+            remat=remat,
         )
         ea, ep, en = emb[:b], emb[b : 2 * b], emb[2 * b :]
         return jnp.concatenate([ea, ep, en], axis=-1), new_state

@@ -162,8 +162,10 @@ def train_identifier(
 
     def step_fn(params, state, opt_state, a, p, n, weights):
         def loss_fn(prm):
+            # remat: triplet batches stack 3x images through the 40M-param
+            # trunk — checkpointing residual blocks keeps HBM flat.
             out, new_state = model.triplet_forward(
-                prm, state, a, p, n, train=True
+                prm, state, a, p, n, train=True, remat=True
             )
             d = model.dense1_dim
             ea, ep, en = out[:, :d], out[:, d : 2 * d], out[:, 2 * d :]

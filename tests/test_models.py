@@ -210,3 +210,34 @@ def test_triplet_forward_stacks_one_batch():
     ea, _ = model.embed(params, state, a)
     np.testing.assert_allclose(np.asarray(out[:, :8]), np.asarray(ea),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_remat_matches_plain_forward_and_grad():
+    ops = darknet.trunk_graph()[:8] + [("output", "trunk")]
+    params, state = darknet.init_graph_params(ops, jax.random.PRNGKey(5))
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+
+    def loss(p, remat):
+        outs, _ = darknet.apply_graph(p, state, x, ops, train=True, remat=remat)
+        return jnp.sum(outs["trunk"] ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+    flat0 = jax.tree.leaves(g0)
+    flat1 = jax.tree.leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_remat_segments_structure():
+    segs = darknet.remat_segments(darknet.trunk_graph())
+    # 23 residual blocks → 23 add-terminated segments + the trailing output seg.
+    assert sum(1 for s in segs for op in s if op[0] == "add") == 23
+    flat = [op for s in segs for op in s]
+    assert flat == darknet.trunk_graph()
+    with pytest.raises(ValueError):
+        darknet.remat_segments(darknet.yolov3_graph())
