@@ -155,23 +155,82 @@ class FaceDetectorPipeline:
 
     # -------------------------------------------------------------- evaluate/test
 
-    def _iter_detections(self, file_names: list[str], batch_size: int):
-        """Letterbox on host, detect in device batches; yields per-image results.
+    def detect_batch_fused(self, staged: np.ndarray, geoms: list):
+        """Fused strict letterbox + detect, entirely on device.
+
+        `staged` is (B, maxH, maxW, 3) float32 /255 images packed top-left;
+        `geoms` the per-image LetterboxGeometry list. The cv2-faithful cubic
+        resize (ops/resize.py, a=-0.75 + replicate border) runs as two
+        gather/weighted-sum passes feeding the trunk directly — no 416² batch
+        ever exists on the host (which has one CPU core).
+        """
+        from face_vijnana_yolov3_tpu.ops.resize import (
+            letterbox_taps,
+            letterbox_device_strict,
+        )
+
+        max_h, max_w = staged.shape[1], staged.shape[2]
+        tap_arrays = [
+            np.stack(a)
+            for a in zip(
+                *(letterbox_taps(g, max_h, max_w, self.image_size, "cubic")
+                  for g in geoms)
+            )
+        ]
+        if self._jit_detect is None:
+            self._build_detect()
+        key = ("fused", staged.shape)
+        if not hasattr(self, "_fused_cache"):
+            self._fused_cache = {}
+        if key not in self._fused_cache:
+            inner = self._jit_detect
+
+            @jax.jit
+            def fused(staged, ri, rw, ci, cw):
+                lb = letterbox_device_strict(staged, ri, rw, ci, cw)
+                return inner(lb)
+
+            self._fused_cache[key] = fused
+        cands, counts = self._fused_cache[key](jnp.asarray(staged), *tap_arrays)
+        return np.asarray(cands), np.asarray(counts)
+
+    def _iter_detections(self, file_names: list[str], batch_size: int,
+                         device_letterbox: bool | None = None):
+        """Letterbox + detect in device batches; yields per-image results.
 
         Yields (file_name, original_image, geom, boxes_in_original_coords) where
         boxes rows are [xmin,ymin,xmax,ymax,score] floats in original coords.
+        device_letterbox=True routes preprocessing through the fused on-device
+        strict letterbox (default: env FVY_DEVICE_LETTERBOX=1).
         """
+        if device_letterbox is None:
+            device_letterbox = os.environ.get("FVY_DEVICE_LETTERBOX") == "1"
+        from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_geometry
+
         for start in range(0, len(file_names), batch_size):
             chunk = file_names[start : start + batch_size]
-            images, geoms, originals = [], [], []
+            geoms, originals = [], []
             for fn in chunk:
                 image_o = imread(fn)
-                lb, geom = letterbox_host(image_o / 255, self.image_size, "cubic")
-                images.append(lb)
-                geoms.append(geom)
                 originals.append(image_o)
-            batch = np.asarray(images, np.float32)
-            cands, counts = self.detect_batch(batch)
+                geoms.append(
+                    letterbox_geometry(
+                        image_o.shape[0], image_o.shape[1], self.image_size
+                    )
+                )
+            if device_letterbox:
+                max_h = max(im.shape[0] for im in originals)
+                max_w = max(im.shape[1] for im in originals)
+                staged = np.zeros((len(chunk), max_h, max_w, 3), np.float32)
+                for k, im in enumerate(originals):
+                    staged[k, : im.shape[0], : im.shape[1]] = im / 255
+                cands, counts = self.detect_batch_fused(staged, geoms)
+            else:
+                images = [
+                    letterbox_host(im / 255, self.image_size, "cubic")[0]
+                    for im in originals
+                ]
+                cands, counts = self.detect_batch(np.asarray(images, np.float32))
             for k, fn in enumerate(chunk):
                 n = int(counts[k])
                 rows = cands[k, :n]

@@ -1,0 +1,93 @@
+"""cv2-parity tests for the device resize and the fused strict letterbox."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from face_vijnana_yolov3_tpu.ops.resize import (
+    resize_cv2_cubic,
+    resize_cv2_nearest,
+    letterbox_taps,
+    letterbox_device_strict,
+)
+from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_host, letterbox_geometry
+
+
+@pytest.mark.parametrize(
+    "h,w,oh,ow",
+    [(300, 500, 243, 416), (100, 80, 416, 333), (64, 64, 64, 64),
+     (7, 5, 19, 23), (50, 61, 416, 341)],
+)
+def test_cubic_matches_cv2(h, w, oh, ow):
+    import cv2 as cv
+
+    img = np.random.default_rng(0).uniform(size=(h, w, 3)).astype(np.float32)
+    want = cv.resize(img, (ow, oh), interpolation=cv.INTER_CUBIC)
+    got = np.asarray(resize_cv2_cubic(jnp.asarray(img), oh, ow))
+    assert np.abs(got - want).max() < 2e-6
+
+
+@pytest.mark.parametrize(
+    "h,w,oh,ow",
+    [(300, 500, 243, 416), (100, 80, 416, 333), (19, 23, 7, 5)],
+)
+def test_nearest_matches_cv2_bitexact(h, w, oh, ow):
+    import cv2 as cv
+
+    img = np.random.default_rng(1).uniform(size=(h, w, 3)).astype(np.float32)
+    want = cv.resize(img, (ow, oh), interpolation=cv.INTER_NEAREST)
+    got = np.asarray(resize_cv2_nearest(jnp.asarray(img), oh, ow))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("h,w", [(300, 500), (500, 300), (416, 416), (120, 97)])
+def test_strict_device_letterbox_matches_host(h, w):
+    rng = np.random.default_rng(2)
+    img = rng.uniform(size=(h, w, 3)).astype(np.float32)
+    host, geom = letterbox_host(img, 416, "cubic")
+
+    max_h, max_w = 512, 512
+    staged = np.zeros((1, max_h, max_w, 3), np.float32)
+    staged[0, :h, :w] = img
+    ri, rw, ci, cw = letterbox_taps(geom, max_h, max_w, 416, "cubic")
+    dev = np.asarray(
+        letterbox_device_strict(
+            jnp.asarray(staged), jnp.asarray(ri[None]), jnp.asarray(rw[None]),
+            jnp.asarray(ci[None]), jnp.asarray(cw[None]),
+        )
+    )[0]
+    assert np.abs(dev - host).max() < 2e-6
+    # Pad band exactly zero.
+    if geom.pad_t:
+        assert np.all(dev[: geom.pad_t] == 0)
+    if geom.pad_l:
+        assert np.all(dev[:, : geom.pad_l] == 0)
+
+
+def test_fused_pipeline_matches_host_pipeline(tmp_path):
+    """FaceDetectorPipeline device-letterbox path == host path boxes."""
+    import pandas as pd
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.utils.io import imsave
+
+    rng = np.random.default_rng(3)
+    files = []
+    for i, (h, w) in enumerate([(120, 160), (140, 100)]):
+        fn = str(tmp_path / f"i{i}.jpg")
+        imsave(fn, rng.uniform(0, 255, (h, w, 3)).astype(np.uint8))
+        files.append(fn)
+
+    conf = FdConf(weights_path="missing.weights")
+    conf.nn_arch.image_size = 64
+    conf.hps.face_conf_th = 0.05
+    fd = FaceDetectorPipeline(conf)
+    host_out = list(fd._iter_detections(files, 2, device_letterbox=False))
+    dev_out = list(fd._iter_detections(files, 2, device_letterbox=True))
+    assert len(host_out) == len(dev_out) == 2
+    for (fn_a, _, _, boxes_a), (fn_b, _, _, boxes_b) in zip(host_out, dev_out):
+        assert fn_a == fn_b
+        # JPEG decode is shared; only the resize arithmetic differs (≤2e-6
+        # pre-sigmoid) — box sets must agree.
+        np.testing.assert_allclose(boxes_a, boxes_b, atol=1e-3)
