@@ -52,6 +52,10 @@ class FdConf:
     model_loading: bool = False
     weights_path: str = "yolov3.weights"
     model_path: str = "face_detector_tpu"
+    # Docker-variant behavior toggle: the legacy argparse build applies an
+    # aspect-ratio correction with RATIO_TH=face_region_ratio_th
+    # (docker/code/face_detection.py:415-422) that src/space comments out.
+    apply_face_region_ratio: bool = False
     hps: FdHps = dataclasses.field(default_factory=FdHps)
     nn_arch: FdNNArch = dataclasses.field(default_factory=FdNNArch)
 

@@ -235,8 +235,26 @@ class FaceDetectorPipeline:
                 n = int(counts[k])
                 rows = cands[k, :n]
                 boxes = unletterbox_boxes(rows[:, :4].astype(np.float64), geoms[k])
+                if self.conf.apply_face_region_ratio:
+                    boxes = self._correct_aspect_ratio(boxes)
                 out = np.concatenate([boxes, rows[:, 5:6].astype(np.float64)], axis=1)
                 yield fn, originals[k], geoms[k], out
+
+    def _correct_aspect_ratio(self, boxes: np.ndarray) -> np.ndarray:
+        """Docker-variant aspect correction (docker/code/face_detection.py:
+        415-422): widen the short axis up to face_region_ratio_th."""
+        th = self.hps["face_region_ratio_th"]
+        out = boxes.copy()
+        for r in out:
+            w = r[2] - r[0]
+            h = r[3] - r[1]
+            if h <= 0 or w <= 0:
+                continue
+            if w / h < th:
+                r[2] = th * h + r[0]
+            elif h / w < th:
+                r[3] = th * w + r[1]
+        return out
 
     def _write_rows(self, f, file_name: str, boxes: np.ndarray):
         """≤60 CSV rows `file,x,y,w,h,score` (face_detection.py:726-738)."""

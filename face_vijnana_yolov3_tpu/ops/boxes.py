@@ -46,6 +46,48 @@ def pairwise_iou(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     return intersect / union
 
 
+class BoundBox:
+    """Compatibility record mirroring the reference BoundBox
+    (yolov3_detect.py:126-163) for code migrating from the reference API.
+
+    The framework's device paths use plain arrays; this shim exists so
+    reference-style host code (metric scripts, notebooks) ports unchanged.
+    """
+
+    def __init__(self, xmin, ymin, xmax, ymax, objness=None, classes=None,
+                 anchor=None, subject_id=-1):
+        self.xmin = xmin
+        self.ymin = ymin
+        self.xmax = xmax
+        self.ymax = ymax
+        self.objness = objness
+        self.classes = classes
+        self.anchor = anchor
+        self.subject_id = subject_id
+        self.label = -1
+        self.score = -1
+
+    def get_label(self):
+        import numpy as np
+
+        if self.label == -1:
+            self.label = int(np.argmax(self.classes))
+        return self.label
+
+    def get_score(self):
+        if self.score == -1:
+            self.score = self.classes[self.get_label()]
+        return min(self.score, 1.0)
+
+    def get_relative_bb(self, width, height):
+        return (
+            int(self.xmin / width * 100.0),
+            int(self.ymin / height * 100.0),
+            int((self.xmax - self.xmin) / width * 100.0),
+            int((self.ymax - self.ymin) / height * 100.0),
+        )
+
+
 def iou_single(box_a, box_b) -> float:
     """Scalar IoU for two [xmin,ymin,xmax,ymax] boxes (host-friendly)."""
     import numpy as np

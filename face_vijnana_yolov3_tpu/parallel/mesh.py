@@ -29,6 +29,30 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up: `jax.distributed.initialize` with env fallbacks.
+
+    On single-host (this build's one-chip axon setup) it is a no-op. On a
+    multi-host pod slice the same train step runs unchanged — the mesh simply
+    spans all processes' devices and XLA routes the gradient psum over
+    ICI within a slice and DCN across slices. (The reference has no multi-node
+    capability at all — SURVEY §2 P3.)
+    """
+    import jax
+
+    if num_processes is None and "JAX_NUM_PROCESSES" not in __import__("os").environ:
+        return  # single-process
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(
     n_devices: int | None = None, model_axis: int = 1, devices=None
 ) -> Mesh:

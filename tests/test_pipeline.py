@@ -240,3 +240,45 @@ def test_detection_dataset_batches(tmp_path):
     assert imgs.shape == (1, 416, 416, 3)
     assert gts.shape == (1, 13, 13, 6)
     assert gts.sum() > 0
+
+
+def test_boundbox_compat_record():
+    from face_vijnana_yolov3_tpu.ops.boxes import BoundBox
+
+    b = BoundBox(0, 0, 10, 20, objness=0.9, classes=np.array([0.1, 0.8]))
+    assert b.get_label() == 1
+    assert b.get_score() == pytest.approx(0.8)
+    assert b.get_relative_bb(100, 100) == (0, 0, 10, 20)
+    # Score clamp at 1.0 (yolov3_detect.py:155).
+    b2 = BoundBox(0, 0, 1, 1, classes=np.array([1.7]))
+    assert b2.get_score() == 1.0
+
+
+def test_get_person_boxes_entropy_filter():
+    from face_vijnana_yolov3_tpu.ops.boxes import BoundBox
+    from face_vijnana_yolov3_tpu.utils.box_select import get_person_boxes
+
+    labels = ["person", "bottle", "cat"]
+    sharp = np.array([0.97, 0.02, 0.01])   # low entropy person
+    flat = np.array([0.4, 0.3, 0.3])       # high entropy person
+    cat = np.array([0.1, 0.1, 0.8])
+    boxes = [BoundBox(0, 0, 1, 1, classes=c) for c in (sharp, flat, cat)]
+    got = get_person_boxes(boxes, labels, 0.5, human_entropy_thresh=0.5,
+                           bottle_entropy_thresh=0.5)
+    assert got == [boxes[0]]
+
+
+def test_apply_face_region_ratio_docker_variant(tmp_path):
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+
+    conf = FdConf(weights_path="missing.weights", apply_face_region_ratio=True)
+    conf.nn_arch.image_size = 64
+    fd = FaceDetectorPipeline(conf)
+    boxes = np.array([[0.0, 0.0, 10.0, 100.0],    # w/h = 0.1 < 0.8 → widen x
+                      [0.0, 0.0, 100.0, 10.0],    # h/w = 0.1 < 0.8 → widen y
+                      [0.0, 0.0, 50.0, 50.0]])    # square untouched
+    out = fd._correct_aspect_ratio(boxes)
+    assert out[0, 2] == pytest.approx(0.8 * 100.0)
+    assert out[1, 3] == pytest.approx(0.8 * 100.0)
+    np.testing.assert_array_equal(out[2], boxes[2])
