@@ -53,11 +53,34 @@ class FaceDetectorPipeline:
         )
 
         if conf.model_loading:
-            from face_vijnana_yolov3_tpu.core.checkpoints import load_checkpoint
+            if conf.model_path.endswith(".h5"):
+                # Drop-in load of the reference's Keras checkpoint
+                # (face_detector.h5 — reference face_detection.py:329).
+                from face_vijnana_yolov3_tpu.core.keras_import import (
+                    detector_from_keras_h5,
+                )
 
-            ckpt = load_checkpoint(conf.model_path)
-            self.params, self.state = ckpt["params"], ckpt["state"]
-            self.opt_state = ckpt.get("opt_state")
+                self.params, self.state = detector_from_keras_h5(conf.model_path)
+            else:
+                from face_vijnana_yolov3_tpu.core.checkpoints import (
+                    load_checkpoint,
+                )
+
+                ckpt = load_checkpoint(conf.model_path)
+                self.params, self.state = ckpt["params"], ckpt["state"]
+                self.opt_state = ckpt.get("opt_state")
+        elif conf.yolov3_base_model_load and os.path.exists("yolov3_base.h5"):
+            # Reference fast path: cached trunk h5 (face_detection.py:393-396).
+            from face_vijnana_yolov3_tpu.core.keras_import import (
+                collect_keras_weights,
+                trunk_from_keras,
+            )
+
+            self.params, self.state = trunk_from_keras(
+                collect_keras_weights("yolov3_base.h5")
+            )
+            fresh, _ = self.model.init(jax.random.PRNGKey(0))
+            self.params["head"] = fresh["head"]
         elif os.path.exists(conf.weights_path):
             self.params, self.state = self.model.init_from_darknet(
                 conf.weights_path, jax.random.PRNGKey(0)

@@ -70,11 +70,24 @@ class FaceIdentifierPipeline:
         )
 
         if self.conf.model_loading:
-            from face_vijnana_yolov3_tpu.core.checkpoints import load_checkpoint
+            if self.conf.model_path.endswith(".h5"):
+                # Drop-in load of the reference's face_identifier.h5
+                # (face_identification.py:305).
+                from face_vijnana_yolov3_tpu.core.keras_import import (
+                    identifier_from_keras_h5,
+                )
 
-            ckpt = load_checkpoint(self.conf.model_path)
-            self.params, self.state = ckpt["params"], ckpt["state"]
-            self.opt_state = ckpt.get("opt_state")
+                self.params, self.state = identifier_from_keras_h5(
+                    self.conf.model_path
+                )
+            else:
+                from face_vijnana_yolov3_tpu.core.checkpoints import (
+                    load_checkpoint,
+                )
+
+                ckpt = load_checkpoint(self.conf.model_path)
+                self.params, self.state = ckpt["params"], ckpt["state"]
+                self.opt_state = ckpt.get("opt_state")
         elif os.path.exists(self.conf.weights_path):
             self.params, self.state = self.model.init_from_darknet(
                 self.conf.weights_path, jax.random.PRNGKey(1)

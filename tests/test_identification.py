@@ -225,3 +225,30 @@ def test_identify_image_rows_with_handcrafted_boxes(tmp_path):
     # sim gate: impossible threshold rejects everything
     fi.hps["sim_th"] = -1.0
     assert fi._identify_image(image_o, boxes, ["alice", "bob"], reg) == []
+
+
+def test_create_subject_db_vggface2(tmp_path, monkeypatch):
+    from face_vijnana_yolov3_tpu.data.facedb import create_subject_db_vggface2
+    from face_vijnana_yolov3_tpu.utils.io import imsave
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for ident in ("n000001", "n000002"):
+        d = tmp_path / "train" / ident
+        d.mkdir(parents=True)
+        for k in range(2):
+            imsave(str(d / f"{k:04d}.jpg"),
+                   rng.uniform(0, 255, (100, 90, 3)).astype(np.uint8))
+            rows.append({"NAME_ID": f"{ident}/{k:04d}", "X": 10, "Y": 12,
+                         "W": 40, "H": 50})
+    # one invalid row (negative X) that must be skipped
+    rows.append({"NAME_ID": "n000001/0000", "X": -3, "Y": 1, "W": 5, "H": 5})
+    pd.DataFrame(rows).to_csv(tmp_path / "loose_bb_train.csv", index=False)
+    monkeypatch.chdir(tmp_path)
+    db = create_subject_db_vggface2(str(tmp_path), image_size=64, workers=2)
+    assert db.shape[0] == 4
+    assert set(db["subject_id"]) == {"n000001", "n000002"}
+    assert set(db["w"]) == {40} and set(db["h"]) == {50}
+    assert os.path.exists(tmp_path / "subject_image_vggface2_db.csv")
+    files = os.listdir(tmp_path / "subject_faces_vggface2")
+    assert len(files) == 4

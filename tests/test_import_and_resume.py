@@ -127,3 +127,24 @@ def test_model_loading_resume_roundtrip(tmp_path, monkeypatch):
     # And training continues from the restored state without error.
     losses = fd2.train()
     assert np.isfinite(losses).all()
+
+
+def test_pipeline_loads_reference_keras_h5(tmp_path):
+    """model_loading with a .h5 path routes through the Keras importer."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+
+    layout = darknet.conv_layout(darknet.trunk_graph())
+    path = str(tmp_path / "face_detector.h5")
+    arrays = _write_keras_style_h5(
+        path, layout,
+        extra=[("output/kernel:0", (3, 3, 1024, 6)), ("output/bias:0", (6,))],
+    )
+    conf = FdConf(model_loading=True, model_path=path)
+    fd = FaceDetectorPipeline(conf)
+    np.testing.assert_array_equal(
+        np.asarray(fd.params["conv_0"]["kernel"]), arrays["conv_0/kernel:0"]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fd.params["head"]["kernel"]), arrays["output/kernel:0"]
+    )
