@@ -241,3 +241,26 @@ def test_remat_segments_structure():
     assert flat == darknet.trunk_graph()
     with pytest.raises(ValueError):
         darknet.remat_segments(darknet.yolov3_graph())
+
+
+def test_s2d_front_matches_stock_folded():
+    """Space-to-depth conv0/conv1 rewrite is algebraically exact."""
+    from face_vijnana_yolov3_tpu.models.s2d import (
+        build_s2d_folded,
+        apply_graph_folded_s2d,
+    )
+
+    model = FaceDetectorModel(image_size=64)
+    params, state = model.init(jax.random.PRNGKey(0))
+    folded = darknet.fold_graph_params(params, state, model.ops)
+    folded["head"] = params["head"]
+    folded_s2d = build_s2d_folded(folded)
+    ops2 = model.ops[:2] + [("output", "trunk")]
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+    o1 = darknet.apply_graph_folded(folded, x, ops2, compute_dtype=jnp.float32)
+    o2 = apply_graph_folded_s2d(folded_s2d, x, ops2, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(o1["trunk"]), np.asarray(o2["trunk"]), atol=5e-6
+    )
