@@ -148,9 +148,13 @@ def init_graph_params(ops: list[tuple], rng: jax.Array | None = None):
     """
     params: dict[str, Any] = {}
     state: dict[str, Any] = {}
-    keys = None
+    # Host-side numpy init: building ~150 param arrays as eager device ops costs
+    # minutes over a tunneled TPU (each tiny op compiles its own executable);
+    # numpy arrays transfer lazily on first real use instead.
+    np_rng = None
     if rng is not None:
-        keys = iter(jax.random.split(rng, 256))
+        seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1]) & 0x7FFFFFFF
+        np_rng = np.random.default_rng(seed)
     # Residual-ending convs (the conv immediately before each "add"): their BN
     # gamma initializes to 0 so every residual branch starts as identity —
     # without this, ~20 stacked adds blow random-init activations up by 2^20
@@ -165,29 +169,27 @@ def init_graph_params(ops: list[tuple], rng: jax.Array | None = None):
             residual_end.add(prev_conv_idx)
     for idx, in_c, out_c, k, _stride, bn in conv_layout(ops):
         shape = (k, k, in_c, out_c)
-        if rng is None:
-            kernel = jnp.zeros(shape, jnp.float32)
+        if np_rng is None:
+            kernel = np.zeros(shape, np.float32)
         else:
             # He-uniform-ish fan-in init (Keras Conv2D default is glorot_uniform;
             # close enough for fresh heads — pretrained paths overwrite anyway).
             fan_in = k * k * in_c
             limit = float(np.sqrt(6.0 / fan_in))
-            kernel = jax.random.uniform(
-                next(keys), shape, jnp.float32, -limit, limit
-            )
+            kernel = np_rng.uniform(-limit, limit, shape).astype(np.float32)
         entry = {"kernel": kernel}
         if not bn:
-            entry["bias"] = jnp.zeros((out_c,), jnp.float32)
+            entry["bias"] = np.zeros((out_c,), np.float32)
         params[f"conv_{idx}"] = entry
         if bn:
             gamma_init = 0.0 if (rng is not None and idx in residual_end) else 1.0
             params[f"bnorm_{idx}"] = {
-                "gamma": jnp.full((out_c,), gamma_init, jnp.float32),
-                "beta": jnp.zeros((out_c,), jnp.float32),
+                "gamma": np.full((out_c,), gamma_init, np.float32),
+                "beta": np.zeros((out_c,), np.float32),
             }
             state[f"bnorm_{idx}"] = {
-                "mean": jnp.zeros((out_c,), jnp.float32),
-                "var": jnp.ones((out_c,), jnp.float32),
+                "mean": np.zeros((out_c,), np.float32),
+                "var": np.ones((out_c,), np.float32),
             }
     return params, state
 

@@ -29,17 +29,20 @@ class FaceDetectorModel:
     # -------------------------------------------------------------- params
 
     def init(self, rng: jax.Array):
+        import numpy as np
+
         trunk_rng, head_rng = jax.random.split(rng)
         params, state = darknet.init_graph_params(self.ops, trunk_rng)
         fan_in = 3 * 3 * 1024
         fan_out = self.out_channels
         limit = float(jnp.sqrt(6.0 / (fan_in + fan_out)))  # glorot_uniform
+        seed = int(np.asarray(jax.random.key_data(head_rng)).ravel()[-1]) & 0x7FFFFFFF
+        np_rng = np.random.default_rng(seed)
         params["head"] = {
-            "kernel": jax.random.uniform(
-                head_rng, (3, 3, 1024, self.out_channels), jnp.float32,
-                -limit, limit,
-            ),
-            "bias": jnp.zeros((self.out_channels,), jnp.float32),
+            "kernel": np_rng.uniform(
+                -limit, limit, (3, 3, 1024, self.out_channels)
+            ).astype(np.float32),
+            "bias": np.zeros((self.out_channels,), np.float32),
         }
         return params, state
 

@@ -34,15 +34,18 @@ class FaceIdentifierModel:
     # -------------------------------------------------------------- params
 
     def init(self, rng: jax.Array):
+        import numpy as np
+
         trunk_rng, dense_rng = jax.random.split(rng)
         params, state = darknet.init_graph_params(self.ops, trunk_rng)
         limit = float(jnp.sqrt(6.0 / (self.flat_dim + self.dense1_dim)))
+        seed = int(np.asarray(jax.random.key_data(dense_rng)).ravel()[-1]) & 0x7FFFFFFF
+        np_rng = np.random.default_rng(seed)
         params["dense1"] = {
-            "kernel": jax.random.uniform(
-                dense_rng, (self.flat_dim, self.dense1_dim), jnp.float32,
-                -limit, limit,
-            ),
-            "bias": jnp.zeros((self.dense1_dim,), jnp.float32),
+            "kernel": np_rng.uniform(
+                -limit, limit, (self.flat_dim, self.dense1_dim)
+            ).astype(np.float32),
+            "bias": np.zeros((self.dense1_dim,), np.float32),
         }
         return params, state
 
