@@ -39,3 +39,28 @@ def test_pallas_nms_degenerate_boxes_no_suppress():
         )
     )
     np.testing.assert_allclose(got, scores)
+
+
+def test_pallas_fused_front_matches_stock_interpret():
+    """Experimental fused conv0+conv1 front kernel: exact vs stock folded."""
+    import jax
+    from face_vijnana_yolov3_tpu.models.detector import FaceDetectorModel
+    from face_vijnana_yolov3_tpu.models import darknet
+    from face_vijnana_yolov3_tpu.models.s2d import build_s2d_folded
+    from face_vijnana_yolov3_tpu.ops.pallas_front import fused_front
+
+    model = FaceDetectorModel(image_size=64)
+    params, state = model.init(jax.random.PRNGKey(0))
+    folded = darknet.fold_graph_params(params, state, model.ops)
+    folded_s2d = build_s2d_folded(folded)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+    front_ops = model.ops[:2] + [("output", "t")]
+    want = darknet.apply_graph_folded(
+        folded, x, front_ops, compute_dtype=jnp.float32
+    )["t"]
+    got = fused_front(x, folded_s2d, compute_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), atol=5e-6
+    )
