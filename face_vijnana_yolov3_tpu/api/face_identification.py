@@ -282,17 +282,23 @@ class FaceIdentifierPipeline:
                 if DEBUG:
                     print(count1, "/", len(file_names), fn)
                 count1 += 1
-                boxes = boxes[:60]  # reference's count>60 break
                 rows = self._identify_image(
                     image_o, boxes, subject_ids, reg_embs
                 )
                 base = fn.split(os.sep)[-1]
+                # Reference caps WRITTEN rows at 60 but iterates all boxes —
+                # unmatched boxes don't consume the budget
+                # (face_identification.py:867,:941).
+                written = 0
                 for row in rows:
+                    if written >= 60:
+                        break
                     f.write(
                         f"{base},{row['subject_id']},{row['xmin']},{row['ymin']},"
                         f"{row['xmax'] - row['xmin']},"
                         f"{row['ymax'] - row['ymin']},{row['score']}\n"
                     )
+                    written += 1
 
                 if not draw_results:
                     continue

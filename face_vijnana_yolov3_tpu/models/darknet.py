@@ -203,19 +203,22 @@ def _conv2d(x, kernel, stride, k, compute_dtype):
         pad = ((0, 0), (0, 0))
     # In f32 request HIGHEST precision: on TPU the default lowers f32 convs to
     # bf16 MXU passes (~1e-2 error), which would break parity paths. The bf16
-    # fast path keeps the default single-pass MXU lowering.
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if compute_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    # path keeps the default single-pass MXU lowering and a bf16 output —
+    # requesting an f32 preferred_element_type there breaks the conv transpose
+    # (autodiff) with mixed-dtype operands; MXU accumulation is f32 regardless.
+    if compute_dtype == jnp.float32:
+        precision = jax.lax.Precision.HIGHEST
+        preferred = jnp.float32
+    else:
+        precision = jax.lax.Precision.DEFAULT
+        preferred = None
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         kernel.astype(compute_dtype),
         window_strides=(stride, stride),
         padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
         precision=precision,
     )
 

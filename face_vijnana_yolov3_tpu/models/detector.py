@@ -72,7 +72,9 @@ class FaceDetectorModel:
             window_strides=(1, 1),
             padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=(
+                jnp.float32 if compute_dtype == jnp.float32 else None
+            ),
         ) + params["head"]["bias"]
         return h.astype(jnp.float32), new_state
 
@@ -92,7 +94,9 @@ class FaceDetectorModel:
             window_strides=(1, 1),
             padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=(
+                jnp.float32 if compute_dtype == jnp.float32 else None
+            ),
         ) + folded["head"]["bias"]
         return h.astype(jnp.float32)
 

@@ -77,7 +77,9 @@ class FaceIdentifierModel:
             jnp.dot(
                 flat.astype(compute_dtype),
                 params["dense1"]["kernel"].astype(compute_dtype),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=(
+                    jnp.float32 if compute_dtype == jnp.float32 else None
+                ),
                 precision=precision,
             )
             + params["dense1"]["bias"]
