@@ -27,9 +27,9 @@ import jax.numpy as jnp
 from face_vijnana_yolov3_tpu.api.config import Conf, load_conf, apply_overrides
 from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
 from face_vijnana_yolov3_tpu.models.identifier import FaceIdentifierModel
-from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_host, unletterbox_boxes
+from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_host
 from face_vijnana_yolov3_tpu.ops.similarity import match_embeddings
-from face_vijnana_yolov3_tpu.utils.io import imread, imsave
+from face_vijnana_yolov3_tpu.utils.io import imsave
 
 DEBUG = True
 

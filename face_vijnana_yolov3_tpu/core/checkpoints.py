@@ -12,9 +12,6 @@ from __future__ import annotations
 import os
 from typing import Any
 
-import jax
-import numpy as np
-
 
 def save_checkpoint(path: str, tree: Any) -> None:
     """Save a pytree (params/state/opt_state/step) to `path` (a directory)."""

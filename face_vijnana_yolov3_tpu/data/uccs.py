@@ -19,7 +19,7 @@ import os
 import numpy as np
 import pandas as pd
 
-from face_vijnana_yolov3_tpu.ops.letterbox import LetterboxGeometry, letterbox_geometry
+from face_vijnana_yolov3_tpu.ops.letterbox import LetterboxGeometry
 
 
 def load_gt_frame(csv_path: str) -> pd.DataFrame:

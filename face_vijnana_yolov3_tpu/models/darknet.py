@@ -19,7 +19,6 @@ weights align). BatchNorm epsilon 1e-3, LeakyReLU alpha 0.1.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax

@@ -10,8 +10,6 @@ Capability-equivalent to the reference FaceDetector model
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -28,7 +28,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from face_vijnana_yolov3_tpu.ops.boxes import pairwise_iou
 
