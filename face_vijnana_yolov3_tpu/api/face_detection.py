@@ -188,18 +188,17 @@ class FaceDetectorPipeline:
         ever exists on the host (which has one CPU core).
         """
         from face_vijnana_yolov3_tpu.ops.resize import (
-            letterbox_taps,
-            letterbox_device_strict,
+            letterbox_matrices,
+            letterbox_device_matmul,
         )
 
         max_h, max_w = staged.shape[1], staged.shape[2]
-        tap_arrays = [
-            np.stack(a)
-            for a in zip(
-                *(letterbox_taps(g, max_h, max_w, self.image_size, "cubic")
-                  for g in geoms)
-            )
+        mats = [
+            letterbox_matrices(g, max_h, max_w, self.image_size, "cubic")
+            for g in geoms
         ]
+        row_ms = np.stack([m[0] for m in mats])
+        col_ms = np.stack([m[1] for m in mats])
         if self._jit_detect is None:
             self._build_detect()
         key = ("fused", staged.shape)
@@ -209,12 +208,18 @@ class FaceDetectorPipeline:
             inner = self._jit_detect
 
             @jax.jit
-            def fused(staged, ri, rw, ci, cw):
-                lb = letterbox_device_strict(staged, ri, rw, ci, cw)
+            def fused(staged, row_ms, col_ms):
+                # 'highest' keeps the resize f32-exact vs the host cv2 path
+                # (the TPU default would round the matmuls to bf16).
+                lb = letterbox_device_matmul(
+                    staged, row_ms, col_ms, precision="highest"
+                )
                 return inner(lb)
 
             self._fused_cache[key] = fused
-        cands, counts = self._fused_cache[key](jnp.asarray(staged), *tap_arrays)
+        cands, counts = self._fused_cache[key](
+            jnp.asarray(staged), jnp.asarray(row_ms), jnp.asarray(col_ms)
+        )
         return np.asarray(cands), np.asarray(counts)
 
     def _iter_detections(self, file_names: list[str], batch_size: int,

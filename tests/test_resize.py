@@ -91,3 +91,30 @@ def test_fused_pipeline_matches_host_pipeline(tmp_path):
         # JPEG decode is shared; only the resize arithmetic differs (≤2e-6
         # pre-sigmoid) — box sets must agree.
         np.testing.assert_allclose(boxes_a, boxes_b, atol=1e-3)
+
+
+@pytest.mark.parametrize("h,w", [(300, 500), (500, 300), (120, 97)])
+def test_matmul_letterbox_matches_host(h, w):
+    from face_vijnana_yolov3_tpu.ops.resize import (
+        letterbox_matrices,
+        letterbox_device_matmul,
+    )
+
+    rng = np.random.default_rng(4)
+    img = rng.uniform(size=(h, w, 3)).astype(np.float32)
+    host, geom = letterbox_host(img, 416, "cubic")
+    max_h, max_w = 512, 512
+    staged = np.zeros((1, max_h, max_w, 3), np.float32)
+    staged[0, :h, :w] = img
+    rm, cm = letterbox_matrices(geom, max_h, max_w, 416)
+    dev = np.asarray(
+        letterbox_device_matmul(
+            jnp.asarray(staged), jnp.asarray(rm[None]), jnp.asarray(cm[None]),
+            precision="highest",
+        )
+    )[0]
+    assert np.abs(dev - host).max() < 2e-6
+    if geom.pad_t:
+        assert np.all(dev[: geom.pad_t] == 0)
+    if geom.pad_l:
+        assert np.all(dev[:, : geom.pad_l] == 0)
