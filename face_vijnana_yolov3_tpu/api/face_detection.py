@@ -53,7 +53,7 @@ class FaceDetectorPipeline:
         )
 
         if conf.model_loading:
-            if conf.model_path.endswith(".h5"):
+            if conf.model_path.endswith((".h5", ".hd5")):
                 # Drop-in load of the reference's Keras checkpoint
                 # (face_detector.h5 — reference face_detection.py:329).
                 from face_vijnana_yolov3_tpu.core.keras_import import (
@@ -172,6 +172,7 @@ class FaceDetectorPipeline:
             self.hps,
             checkpoint_path=self.conf.model_path,
             init_opt_state=self.opt_state,
+            history_path=self.conf.model_path + "_history.jsonl",
         )
         print("Save the model.")
         return losses

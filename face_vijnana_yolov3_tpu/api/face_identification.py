@@ -70,7 +70,7 @@ class FaceIdentifierPipeline:
         )
 
         if self.conf.model_loading:
-            if self.conf.model_path.endswith(".h5"):
+            if self.conf.model_path.endswith((".h5", ".hd5")):
                 # Drop-in load of the reference's face_identifier.h5
                 # (face_identification.py:305).
                 from face_vijnana_yolov3_tpu.core.keras_import import (
@@ -183,6 +183,7 @@ class FaceIdentifierPipeline:
             self.hps,
             checkpoint_path=self.conf.model_path,
             init_opt_state=self.opt_state,
+            history_path=self.conf.model_path + "_history.jsonl",
         )
         self._embed_cache.clear()
         print("Save the model.")

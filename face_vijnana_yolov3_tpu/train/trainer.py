@@ -8,6 +8,7 @@ and the Keras multi-GPU wrapper replaced by the SPMD mesh step.
 
 from __future__ import annotations
 
+import json
 import time
 
 import jax
@@ -49,6 +50,7 @@ def train_detector(
     log_every: int = 1,
     checkpoint_path: str | None = None,
     init_opt_state=None,
+    history_path: str | None = None,
 ):
     """Train the face detector; returns (params, state, losses).
 
@@ -121,6 +123,7 @@ def train_detector(
             )
 
     losses = [float(l) for l in losses]
+    _write_history(history_path, losses)
     if checkpoint_path:
         from face_vijnana_yolov3_tpu.core.checkpoints import save_checkpoint
 
@@ -129,6 +132,16 @@ def train_detector(
             {"params": params, "state": state, "opt_state": opt_state},
         )
     return params, state, losses
+
+
+def _write_history(history_path, losses):
+    """Structured per-step loss log (the reference's only training telemetry is
+    the Keras progress bar; this leaves an analyzable artifact instead)."""
+    if not history_path:
+        return
+    with open(history_path, "w") as f:
+        for i, loss in enumerate(losses):
+            f.write(json.dumps({"step": i, "loss": loss}) + "\n")
 
 
 def train_identifier(
@@ -141,6 +154,7 @@ def train_identifier(
     mesh=None,
     checkpoint_path: str | None = None,
     init_opt_state=None,
+    history_path: str | None = None,
 ):
     """Train the triplet embedder; returns (params, state, losses)."""
     if mesh is None:
@@ -218,6 +232,7 @@ def train_identifier(
         print(f"identifier epoch {epoch + 1}: loss {float(losses[-1]):.6f}")
 
     losses = [float(l) for l in losses]
+    _write_history(history_path, losses)
     if checkpoint_path:
         from face_vijnana_yolov3_tpu.core.checkpoints import save_checkpoint
 

@@ -264,3 +264,60 @@ def test_s2d_front_matches_stock_folded():
     np.testing.assert_allclose(
         np.asarray(o1["trunk"]), np.asarray(o2["trunk"]), atol=5e-6
     )
+
+
+def test_full_trunk_matches_tensorflow_engine():
+    """Cross-engine golden: the whole 52-conv trunk (every stride/pad/skip)
+    against an independent TF implementation with identical weights."""
+    tf = pytest.importorskip("tensorflow")
+    ops = darknet.trunk_graph()
+    rng = np.random.default_rng(42)
+    params, state = darknet.init_graph_params(ops, jax.random.PRNGKey(7))
+    for k in list(state):
+        c = state[k]["mean"].shape[0]
+        state[k] = {
+            "mean": rng.normal(0, 0.3, c).astype(np.float32),
+            "var": rng.uniform(0.5, 1.5, c).astype(np.float32),
+        }
+        params[k] = {
+            "gamma": rng.uniform(0.8, 1.2, c).astype(np.float32),
+            "beta": rng.normal(0, 0.1, c).astype(np.float32),
+        }
+
+    x = rng.uniform(size=(1, 128, 128, 3)).astype(np.float32)
+
+    def tf_forward():
+        h = tf.constant(x)
+        saved = {}
+        layout = {t[0]: t for t in darknet.conv_layout(ops)}
+        for op in ops:
+            kind = op[0]
+            if kind == "conv":
+                _, idx, _oc, k, stride, bn, leaky = op
+                if k > 1:
+                    h = tf.pad(h, [[0, 0], [1, 1], [1, 1], [0, 0]])
+                h = tf.nn.conv2d(
+                    h, np.asarray(params[f"conv_{idx}"]["kernel"]),
+                    strides=stride, padding="VALID",
+                )
+                if bn:
+                    bp, bs = params[f"bnorm_{idx}"], state[f"bnorm_{idx}"]
+                    h = (h - bs["mean"]) / np.sqrt(bs["var"] + 1e-3) * bp["gamma"] + bp["beta"]
+                if leaky:
+                    h = tf.nn.leaky_relu(h, alpha=0.1)
+            elif kind in ("save", "mark"):
+                saved[op[1]] = h
+            elif kind == "add":
+                h = saved[op[1]] + h
+            elif kind == "output":
+                return h.numpy()
+
+    want = tf_forward()
+    outs, _ = darknet.apply_graph(params, state, jnp.asarray(x), ops)
+    got = np.asarray(outs["trunk"])
+    assert want.shape == got.shape == (1, 4, 4, 1024)
+    # Random-init nets amplify activations ~1e5 over 52 layers, so elementwise
+    # max-rel is dominated by cancellation noise; normalized RMS isolates true
+    # engine disagreement (measured ~1.5e-6 = pure float drift).
+    nrmse = np.sqrt(np.mean((want - got) ** 2)) / np.sqrt(np.mean(want**2))
+    assert nrmse < 1e-5

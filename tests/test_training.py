@@ -117,3 +117,20 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(back["params"]["w"]),
                                   np.arange(6, dtype=np.float32).reshape(2, 3))
     assert int(back["step"]) == 7
+
+
+def test_train_history_jsonl(tmp_path):
+    import json
+    from face_vijnana_yolov3_tpu.train.trainer import train_detector
+
+    model = FaceDetectorModel(image_size=32)
+    params, state = model.init(jax.random.PRNGKey(0))
+    dataset = _FakeDetectionDataset(n=8, image_size=32)
+    hps = {"lr": 1e-4, "beta_1": 0.9, "beta_2": 0.999, "decay": 0.0,
+           "epochs": 2, "batch_size": 8, "step": 1}
+    hist = str(tmp_path / "hist.jsonl")
+    train_detector(model, params, state, dataset, hps,
+                   mesh=mesh_lib.make_mesh(8), log_every=0, history_path=hist)
+    rows = [json.loads(l) for l in open(hist)]
+    assert len(rows) == 2
+    assert {"step", "loss"} <= set(rows[0])
