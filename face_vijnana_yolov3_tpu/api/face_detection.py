@@ -236,8 +236,44 @@ class FaceDetectorPipeline:
             device_letterbox = os.environ.get("FVY_DEVICE_LETTERBOX") == "1"
         from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_geometry
 
+        native = None
+        if device_letterbox:
+            from face_vijnana_yolov3_tpu.data import native_loader
+
+            if native_loader.native_available() and all(
+                fn.lower().endswith((".jpg", ".jpeg")) for fn in file_names
+            ):
+                native = native_loader
+
         for start in range(0, len(file_names), batch_size):
             chunk = file_names[start : start + batch_size]
+            if native is not None:
+                # Native C++ path: libjpeg thread pool decodes straight into
+                # the staging layout the device letterbox consumes.
+                staged_u8, dims = native.decode_batch_staged(chunk)
+                originals = [
+                    staged_u8[k, : dims[k, 0], : dims[k, 1]] for k in range(len(chunk))
+                ]
+                geoms = [
+                    letterbox_geometry(int(d[0]), int(d[1]), self.image_size)
+                    for d in dims
+                ]
+                cands, counts = self.detect_batch_fused(
+                    staged_u8.astype(np.float32) / 255, geoms
+                )
+                for k, fn in enumerate(chunk):
+                    n = int(counts[k])
+                    rows = cands[k, :n]
+                    boxes = unletterbox_boxes(
+                        rows[:, :4].astype(np.float64), geoms[k]
+                    )
+                    if self.conf.apply_face_region_ratio:
+                        boxes = self._correct_aspect_ratio(boxes)
+                    out = np.concatenate(
+                        [boxes, rows[:, 5:6].astype(np.float64)], axis=1
+                    )
+                    yield fn, originals[k], geoms[k], out
+                continue
             geoms, originals = [], []
             for fn in chunk:
                 image_o = imread(fn)
