@@ -234,6 +234,7 @@ class FaceDetectorPipeline:
         """
         if device_letterbox is None:
             device_letterbox = os.environ.get("FVY_DEVICE_LETTERBOX") == "1"
+        from face_vijnana_yolov3_tpu.data.pipeline import prefetch_batches
         from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_geometry
 
         native = None
@@ -245,57 +246,54 @@ class FaceDetectorPipeline:
             ):
                 native = native_loader
 
-        for start in range(0, len(file_names), batch_size):
-            chunk = file_names[start : start + batch_size]
+        chunks = [
+            file_names[s : s + batch_size]
+            for s in range(0, len(file_names), batch_size)
+        ]
+
+        def load_chunk(i):
+            """Host side of one batch (decode + stage/letterbox) — runs on the
+            prefetch thread so JPEG decode overlaps device compute."""
+            chunk = chunks[i]
             if native is not None:
-                # Native C++ path: libjpeg thread pool decodes straight into
-                # the staging layout the device letterbox consumes.
                 staged_u8, dims = native.decode_batch_staged(chunk)
                 originals = [
-                    staged_u8[k, : dims[k, 0], : dims[k, 1]] for k in range(len(chunk))
+                    staged_u8[k, : dims[k, 0], : dims[k, 1]]
+                    for k in range(len(chunk))
                 ]
                 geoms = [
                     letterbox_geometry(int(d[0]), int(d[1]), self.image_size)
                     for d in dims
                 ]
-                cands, counts = self.detect_batch_fused(
-                    staged_u8.astype(np.float32) / 255, geoms
-                )
-                for k, fn in enumerate(chunk):
-                    n = int(counts[k])
-                    rows = cands[k, :n]
-                    boxes = unletterbox_boxes(
-                        rows[:, :4].astype(np.float64), geoms[k]
-                    )
-                    if self.conf.apply_face_region_ratio:
-                        boxes = self._correct_aspect_ratio(boxes)
-                    out = np.concatenate(
-                        [boxes, rows[:, 5:6].astype(np.float64)], axis=1
-                    )
-                    yield fn, originals[k], geoms[k], out
-                continue
-            geoms, originals = [], []
-            for fn in chunk:
-                image_o = imread(fn)
-                originals.append(image_o)
-                geoms.append(
-                    letterbox_geometry(
-                        image_o.shape[0], image_o.shape[1], self.image_size
-                    )
-                )
+                return ("staged", staged_u8.astype(np.float32) / 255,
+                        geoms, originals)
+            originals = [imread(fn) for fn in chunk]
+            geoms = [
+                letterbox_geometry(im.shape[0], im.shape[1], self.image_size)
+                for im in originals
+            ]
             if device_letterbox:
                 max_h = max(im.shape[0] for im in originals)
                 max_w = max(im.shape[1] for im in originals)
                 staged = np.zeros((len(chunk), max_h, max_w, 3), np.float32)
                 for k, im in enumerate(originals):
                     staged[k, : im.shape[0], : im.shape[1]] = im / 255
-                cands, counts = self.detect_batch_fused(staged, geoms)
+                return ("staged", staged, geoms, originals)
+            images = np.asarray(
+                [letterbox_host(im / 255, self.image_size, "cubic")[0]
+                 for im in originals],
+                np.float32,
+            )
+            return ("letterboxed", images, geoms, originals)
+
+        loaded = prefetch_batches(
+            load_chunk, len(chunks), prefetch=2, device_put=False
+        )
+        for chunk, (kind, batch, geoms, originals) in zip(chunks, loaded):
+            if kind == "staged":
+                cands, counts = self.detect_batch_fused(batch, geoms)
             else:
-                images = [
-                    letterbox_host(im / 255, self.image_size, "cubic")[0]
-                    for im in originals
-                ]
-                cands, counts = self.detect_batch(np.asarray(images, np.float32))
+                cands, counts = self.detect_batch(batch)
             for k, fn in enumerate(chunk):
                 n = int(counts[k])
                 rows = cands[k, :n]
