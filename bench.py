@@ -10,21 +10,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
-import numpy as np
-
 
 def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
-    sys.path.insert(0, ".")
     from face_vijnana_yolov3_tpu.utils.runtime import enable_compile_cache
 
     enable_compile_cache()
     import jax.numpy as jnp
 
-    sys.path.insert(0, ".")
     from face_vijnana_yolov3_tpu.models.detector import FaceDetectorModel
     from face_vijnana_yolov3_tpu.ops.postprocess import (
         FacePostprocessConfig,

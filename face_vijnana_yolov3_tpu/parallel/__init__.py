@@ -1,19 +1,19 @@
-"""Distributed execution: mesh construction, sharding rules, SPMD train steps."""
+"""Distributed execution: mesh construction, sharding rules, multi-host init."""
 
 from face_vijnana_yolov3_tpu.parallel.mesh import (
+    init_distributed,
     make_mesh,
     replicated,
     batch_sharded,
     shard_identifier_params,
-    build_detector_train_step,
-    build_identifier_train_step,
+    put_tree,
 )
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "replicated",
     "batch_sharded",
     "shard_identifier_params",
-    "build_detector_train_step",
-    "build_identifier_train_step",
+    "put_tree",
 ]

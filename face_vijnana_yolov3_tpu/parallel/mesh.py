@@ -24,7 +24,6 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -92,67 +91,3 @@ def put_tree(tree: Any, sharding_tree: Any) -> Any:
         lambda x, s: jax.device_put(x, s), tree, sharding_tree,
         is_leaf=lambda x: isinstance(x, (jnp.ndarray, np.ndarray)),
     )
-
-
-# ------------------------------------------------------------------ detector
-
-def build_detector_train_step(model, tx: optax.GradientTransformation, mesh: Mesh):
-    """One SPMD training step for the face detector.
-
-    params/state/opt_state replicated; (images, gts) sharded over 'data'. The
-    loss means over the global batch, so d(loss)/d(params) triggers XLA's psum
-    over 'data' — that all-reduce IS the multi-device gradient sync.
-    """
-    repl = replicated(mesh)
-    data = batch_sharded(mesh)
-
-    def step(params, state, opt_state, images, gts):
-        def loss_fn(p):
-            pred, new_state = model.apply(p, state, images, train=True)
-            return model.loss(pred, gts), new_state
-
-        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, new_opt_state = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return new_params, new_state, new_opt_state, loss
-
-    return jax.jit(
-        step,
-        in_shardings=(repl, repl, repl, data, data),
-        out_shardings=(repl, repl, repl, repl),
-        donate_argnums=(0, 1, 2),
-    )
-
-
-# ------------------------------------------------------------------ identifier
-
-def build_identifier_train_step(model, tx: optax.GradientTransformation, mesh: Mesh):
-    """SPMD triplet training step: DP over batch + TP over dense1's input dim."""
-    repl = replicated(mesh)
-    data = batch_sharded(mesh)
-
-    def step(params, state, opt_state, anchors, positives, negatives):
-        def loss_fn(p):
-            out, new_state = model.triplet_forward(
-                p, state, anchors, positives, negatives, train=True
-            )
-            return model.triplet_loss(out, dim=model.dense1_dim), new_state
-
-        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, new_opt_state = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return new_params, new_state, new_opt_state, loss
-
-    param_sharding = None  # resolved at first call via in_shardings below
-
-    def make(params_template):
-        nonlocal param_sharding
-        param_sharding = shard_identifier_params(mesh, params_template)
-        return jax.jit(
-            step,
-            in_shardings=(param_sharding, repl, None, data, data, data),
-            out_shardings=(param_sharding, repl, None, repl),
-            donate_argnums=(0, 1, 2),
-        )
-
-    return make

@@ -321,3 +321,53 @@ def test_full_trunk_matches_tensorflow_engine():
     # engine disagreement (measured ~1.5e-6 = pure float drift).
     nrmse = np.sqrt(np.mean((want - got) ** 2)) / np.sqrt(np.mean(want**2))
     assert nrmse < 1e-5
+
+
+def test_train_mode_gradients_match_tensorflow():
+    """Backward-pass golden: conv+BN(train)+leaky MSE gradients vs TF
+    GradientTape with identical weights (validates batch-stat BN backprop —
+    the semantics Keras fit_generator trains under)."""
+    tf = pytest.importorskip("tensorflow")
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(4, 8, 8, 3)).astype(np.float32)
+    target = rng.normal(size=(4, 4, 4, 8)).astype(np.float32)
+    kernel = rng.normal(0, 0.2, (3, 3, 3, 8)).astype(np.float32)
+    gamma = rng.uniform(0.8, 1.2, 8).astype(np.float32)
+    beta = rng.normal(0, 0.1, 8).astype(np.float32)
+
+    # TF side: explicit batch-stat BN (training semantics).
+    kt = tf.Variable(kernel)
+    gt_ = tf.Variable(gamma)
+    bt = tf.Variable(beta)
+    with tf.GradientTape() as tape:
+        h = tf.pad(tf.constant(x), [[0, 0], [1, 1], [1, 1], [0, 0]])
+        h = tf.nn.conv2d(h, kt, strides=2, padding="VALID")
+        mean, var = tf.nn.moments(h, axes=[0, 1, 2])
+        h = (h - mean) / tf.sqrt(var + 1e-3) * gt_ + bt
+        h = tf.nn.leaky_relu(h, alpha=0.1)
+        loss_tf = tf.reduce_mean(tf.square(h - target))
+    tf_grads = tape.gradient(loss_tf, [kt, gt_, bt])
+
+    ops = [("conv", 0, 8, 3, 2, True, True), ("output", "y")]
+    params = {"conv_0": {"kernel": jnp.asarray(kernel)},
+              "bnorm_0": {"gamma": jnp.asarray(gamma), "beta": jnp.asarray(beta)}}
+    state = {"bnorm_0": {"mean": jnp.zeros(8), "var": jnp.ones(8)}}
+
+    def loss_fn(p):
+        outs, _ = darknet.apply_graph(p, state, jnp.asarray(x), ops, train=True)
+        return jnp.mean(jnp.square(outs["y"] - target))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert float(loss) == pytest.approx(float(loss_tf), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(grads["conv_0"]["kernel"]), tf_grads[0].numpy(),
+        atol=1e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads["bnorm_0"]["gamma"]), tf_grads[1].numpy(),
+        atol=1e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(grads["bnorm_0"]["beta"]), tf_grads[2].numpy(),
+        atol=1e-5, rtol=1e-4,
+    )
