@@ -189,6 +189,39 @@ class FaceIdentifierPipeline:
         print("Save the model.")
         return losses
 
+    def create_face_reconst_model(self):
+        """Build (or load) the experimental reconstruction decoder
+        (reference create_face_reconst_model, face_identification.py:1155-1488;
+        gated by conf face_vijana_recon_load like the reference)."""
+        from face_vijnana_yolov3_tpu.models.recon import FaceReconstructionModel
+        from face_vijnana_yolov3_tpu.core.checkpoints import (
+            checkpoint_exists, load_checkpoint, save_checkpoint,
+        )
+
+        self.recon_model = FaceReconstructionModel(
+            image_size=self.image_size, dense1_dim=self.nn_arch["dense1_dim"]
+        )
+        ckpt_path = "face_vijnana_recon_tpu"
+        if self.conf.face_vijana_recon_load and checkpoint_exists(ckpt_path):
+            ckpt = load_checkpoint(ckpt_path)
+            self.recon_params, self.recon_state = ckpt["params"], ckpt["state"]
+            return
+        self.recon_params, self.recon_state = self.recon_model.init(
+            jax.random.PRNGKey(2), self.params
+        )
+        save_checkpoint(
+            ckpt_path, {"params": self.recon_params, "state": self.recon_state}
+        )
+
+    def reconstruct(self, facial_ids: np.ndarray) -> np.ndarray:
+        """(B, dense1_dim) ids → (B, S, S, 3) reconstructed images."""
+        if not hasattr(self, "recon_model"):
+            self.create_face_reconst_model()
+        out, _ = self.recon_model.apply(
+            self.recon_params, self.recon_state, jnp.asarray(facial_ids)
+        )
+        return np.asarray(out)
+
     def make_facial_ids_db(self):
         from face_vijnana_yolov3_tpu.data.facedb import make_facial_ids_db
 

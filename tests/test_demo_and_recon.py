@@ -97,3 +97,30 @@ def test_recon_forward_roundtrip_shape():
     out, _ = recon.apply(rparams, rstate, z)
     assert out.shape == (2, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pipeline_recon_roundtrip(tmp_path, monkeypatch):
+    from face_vijnana_yolov3_tpu.api.config import Conf
+    from face_vijnana_yolov3_tpu.api.face_identification import (
+        FaceIdentifierPipeline,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    conf = Conf()
+    conf.fi_conf.weights_path = "missing.weights"
+    conf.fi_conf.nn_arch.image_size = 64
+    conf.fi_conf.nn_arch.dense1_dim = 8
+    conf.fd_conf.weights_path = "missing.weights"
+    conf.fd_conf.nn_arch.image_size = 64
+    fi = FaceIdentifierPipeline(conf)
+    fi.create_face_reconst_model()
+    out = fi.reconstruct(np.random.default_rng(0).normal(size=(2, 8)).astype(np.float32))
+    assert out.shape == (2, 64, 64, 3)
+    # reload path (face_vijana_recon_load)
+    conf.fi_conf.face_vijana_recon_load = True
+    fi2 = FaceIdentifierPipeline(conf)
+    fi2.create_face_reconst_model()
+    np.testing.assert_allclose(
+        np.asarray(fi2.recon_params["dense1_t"]["bias"]),
+        np.asarray(fi.recon_params["dense1_t"]["bias"]),
+    )
