@@ -252,6 +252,7 @@ def apply_graph(
     train: bool = False,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    bn_momentum: float | None = None,
 ):
     """Interpret the graph. Returns (outputs, new_state).
 
@@ -275,6 +276,7 @@ def apply_graph(
                 outs, st = apply_graph(
                     params, state, h, seg_ops + [("output", "__h")],
                     train=train, compute_dtype=compute_dtype, remat=False,
+                    bn_momentum=bn_momentum,
                 )
                 return outs["__h"].astype(compute_dtype), st
 
@@ -305,9 +307,10 @@ def apply_graph(
                 if train:
                     mean = jnp.mean(h, axis=(0, 1, 2))
                     var = jnp.var(h, axis=(0, 1, 2))
+                    mom = BN_MOMENTUM if bn_momentum is None else bn_momentum
                     new_state[f"bnorm_{idx}"] = {
-                        "mean": bs["mean"] * BN_MOMENTUM + mean * (1 - BN_MOMENTUM),
-                        "var": bs["var"] * BN_MOMENTUM + var * (1 - BN_MOMENTUM),
+                        "mean": bs["mean"] * mom + mean * (1 - mom),
+                        "var": bs["var"] * mom + var * (1 - mom),
                     }
                 else:
                     mean, var = bs["mean"], bs["var"]

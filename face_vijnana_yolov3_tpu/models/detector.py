@@ -57,11 +57,12 @@ class FaceDetectorModel:
     # -------------------------------------------------------------- forward
 
     def apply(self, params, state, x, *, train: bool = False,
-              compute_dtype=jnp.float32, remat: bool = False):
+              compute_dtype=jnp.float32, remat: bool = False,
+              bn_momentum=None):
         """Returns ((B,13,13,6) head output, new_state)."""
         outs, new_state = darknet.apply_graph(
             params, state, x, self.ops, train=train,
-            compute_dtype=compute_dtype, remat=remat,
+            compute_dtype=compute_dtype, remat=remat, bn_momentum=bn_momentum,
         )
         feat = outs["trunk"].astype(compute_dtype)
         h = jax.lax.conv_general_dilated(

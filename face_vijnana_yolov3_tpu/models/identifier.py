@@ -60,11 +60,12 @@ class FaceIdentifierModel:
     # -------------------------------------------------------------- forward
 
     def embed(self, params, state, x, *, train: bool = False,
-              compute_dtype=jnp.float32, remat: bool = False):
+              compute_dtype=jnp.float32, remat: bool = False,
+              bn_momentum=None):
         """(B,S,S,3) → (B, dense1_dim) L2-normalized embeddings (fid extractor)."""
         outs, new_state = darknet.apply_graph(
             params, state, x, self.ops, train=train,
-            compute_dtype=compute_dtype, remat=remat,
+            compute_dtype=compute_dtype, remat=remat, bn_momentum=bn_momentum,
         )
         feat = outs["trunk"]
         flat = feat.reshape(feat.shape[0], -1)  # Keras Flatten: (H,W,C) row-major

@@ -51,6 +51,7 @@ def train_detector(
     checkpoint_path: str | None = None,
     init_opt_state=None,
     history_path: str | None = None,
+    finalize_bn: bool = True,
 ):
     """Train the face detector; returns (params, state, losses).
 
@@ -124,6 +125,12 @@ def train_detector(
 
     losses = [float(l) for l in losses]
     _write_history(history_path, losses)
+    if finalize_bn:
+        recal = jax.jit(
+            lambda p, s, x: model.apply(p, s, x, train=True, bn_momentum=0.0)
+        )
+        state = finalize_bn_stats(recal, params, state, dataset, batch_size)
+        state = jax.device_put(state, repl)
     if checkpoint_path:
         from face_vijnana_yolov3_tpu.core.checkpoints import save_checkpoint
 
@@ -132,6 +139,38 @@ def train_detector(
             {"params": params, "state": state, "opt_state": opt_state},
         )
     return params, state, losses
+
+
+def finalize_bn_stats(apply_fn, params, state, dataset, batch_size, *,
+                      max_batches: int | None = None):
+    """Re-estimate BN moving stats over the training set with frozen params.
+
+    Keras-momentum-0.99 moving averages lag the drifting batch statistics by
+    ~100 steps; stacked over 52 BN layers that lag makes eval-mode outputs
+    diverge badly from train-mode fit (measured 50x worse MSE on a fully
+    overfit set). The reference inherits this silently from Keras; here one
+    pass over the data with momentum=0 collects exact batch statistics and
+    averages them — standard BN recalibration. Returns the corrected state.
+
+    apply_fn(params, state, images) must run the model in train mode with
+    bn_momentum=0 and return (_, batch_stats_state).
+    """
+    steps = dataset.steps(batch_size)
+    if max_batches is not None:
+        steps = min(steps, max_batches)
+    sums = None
+    for i in range(steps):
+        images = dataset.batch(i, batch_size)[0]
+        _, bstats = apply_fn(params, state, images)
+        if sums is None:
+            sums = jax.tree.map(lambda x: np.asarray(x, np.float64), bstats)
+        else:
+            sums = jax.tree.map(
+                lambda a, b: a + np.asarray(b, np.float64), sums, bstats
+            )
+    if sums is None:
+        return state
+    return jax.tree.map(lambda a: (a / steps).astype(np.float32), sums)
 
 
 def _write_history(history_path, losses):
@@ -155,6 +194,7 @@ def train_identifier(
     checkpoint_path: str | None = None,
     init_opt_state=None,
     history_path: str | None = None,
+    finalize_bn: bool = True,
 ):
     """Train the triplet embedder; returns (params, state, losses)."""
     if mesh is None:
@@ -233,6 +273,23 @@ def train_identifier(
 
     losses = [float(l) for l in losses]
     _write_history(history_path, losses)
+    if finalize_bn:
+        recal = jax.jit(
+            lambda p, s, x: model.embed(p, s, x, train=True, bn_momentum=0.0)
+        )
+
+        class _Stacked:
+            """Adapt triplet batches to (images,) for BN recalibration."""
+
+            def steps(self, bs):
+                return triplet_dataset.steps(bs)
+
+            def batch(self, i, bs):
+                a, pp, nn = triplet_dataset.batch(i, bs)
+                return (np.concatenate([a, pp, nn]),)
+
+        state = finalize_bn_stats(recal, params, state, _Stacked(), batch_size)
+        state = jax.device_put(state, repl)
     if checkpoint_path:
         from face_vijnana_yolov3_tpu.core.checkpoints import save_checkpoint
 

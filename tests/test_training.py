@@ -134,3 +134,33 @@ def test_train_history_jsonl(tmp_path):
     rows = [json.loads(l) for l in open(hist)]
     assert len(rows) == 2
     assert {"step", "loss"} <= set(rows[0])
+
+
+def test_finalize_bn_stats_closes_train_eval_gap():
+    """BN recalibration: eval-mode output matches train-mode fit afterwards."""
+    from face_vijnana_yolov3_tpu.train.trainer import (
+        train_detector,
+        finalize_bn_stats,
+    )
+
+    model = FaceDetectorModel(image_size=32)
+    params, state = model.init(jax.random.PRNGKey(0))
+    dataset = _FakeDetectionDataset(n=8, image_size=32)
+    hps = {"lr": 1e-3, "beta_1": 0.9, "beta_2": 0.999, "decay": 0.0,
+           "epochs": 10, "batch_size": 8, "step": 1}
+    params, state, _ = train_detector(
+        model, params, state, dataset, hps,
+        mesh=mesh_lib.make_mesh(8), log_every=0, finalize_bn=False,
+    )
+    imgs, gts = dataset.batch(0, 8)
+    ht, _ = model.apply(params, state, jnp.asarray(imgs), train=True)
+    he_before, _ = model.apply(params, state, jnp.asarray(imgs), train=False)
+    recal = jax.jit(
+        lambda p, s, x: model.apply(p, s, x, train=True, bn_momentum=0.0)
+    )
+    state2 = finalize_bn_stats(recal, params, state, dataset, 8)
+    he_after, _ = model.apply(params, state2, jnp.asarray(imgs), train=False)
+    gap_before = float(jnp.mean((he_before - ht) ** 2))
+    gap_after = float(jnp.mean((he_after - ht) ** 2))
+    assert gap_after < gap_before * 0.2  # recalibration closes the BN lag
+    assert gap_after < 1e-3
