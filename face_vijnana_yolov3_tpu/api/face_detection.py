@@ -107,9 +107,35 @@ class FaceDetectorPipeline:
 
     # -------------------------------------------------------------- detect
 
+    def calibrate_int8(self, images: np.ndarray):
+        """Calibrate the int8 serving path on a representative batch.
+
+        `images` is a (N,S,S,3) float letterboxed batch (8-16 images suffice).
+        Folds conv+BN, quantizes weights per-channel, and records per-position
+        activation scales (models/quant.py). detect_batch auto-calibrates on
+        its first batch when precision == "int8" and this was never called.
+        """
+        folded = self.model.fold(self.params, self.state)
+        self._qparams = jax.device_put(
+            self.model.quantize(folded, jnp.asarray(images[:16], jnp.float32))
+        )
+        self._jit_detect = None
+
     def _build_detect(self):
         cfg = self._pp_cfg
-        if self.precision == "bfloat16":
+        if self.precision == "int8":
+            if getattr(self, "_qparams", None) is None:
+                raise RuntimeError(
+                    "int8 precision requires calibrate_int8() before detect"
+                )
+            qparams = self._qparams
+
+            def detect(images):
+                head = self.model.apply_quant(qparams, images)
+                return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
+
+            self._jit_detect = jax.jit(detect)
+        elif self.precision == "bfloat16":
             folded = self.model.fold(self.params, self.state)
 
             def detect(images):
@@ -135,6 +161,8 @@ class FaceDetectorPipeline:
         device program: forward, sigmoid/threshold decode, NMS, ascending-score
         candidate selection.
         """
+        if self.precision == "int8" and getattr(self, "_qparams", None) is None:
+            self.calibrate_int8(np.asarray(images))
         if self._jit_detect is None:
             self._build_detect()
         cands, counts = self._jit_detect(jnp.asarray(images, jnp.float32))
@@ -200,6 +228,12 @@ class FaceDetectorPipeline:
         ]
         row_ms = np.stack([m[0] for m in mats])
         col_ms = np.stack([m[1] for m in mats])
+        if self.precision == "int8" and getattr(self, "_qparams", None) is None:
+            lb = jax.jit(
+                lambda s, r, c: letterbox_device_matmul(s, r, c, precision="highest")
+            )(jnp.asarray(staged[:8]), jnp.asarray(row_ms[:8]),
+              jnp.asarray(col_ms[:8]))
+            self.calibrate_int8(np.asarray(lb))
         if self._jit_detect is None:
             self._build_detect()
         key = ("fused", staged.shape)

@@ -105,29 +105,44 @@ class FaceIdentifierPipeline:
         # (face_identification.py:373).
         self.fd = FaceDetectorPipeline(self.fd_conf, precision=precision)
         self._embed_cache: dict[int, object] = {}
+        self._q_embed = None  # int8 qparams, calibrated on first embed batch
 
     # -------------------------------------------------------------- embedding
 
     def _embed_fn(self, bucket: int):
         if bucket not in self._embed_cache:
-            params, state = self.params, self.state
-            dtype = (
-                jnp.bfloat16 if self.precision == "bfloat16" else jnp.float32
-            )
+            if self.precision == "int8":
+                qparams = self._q_embed
 
-            @jax.jit
-            def run(images):
-                emb, _ = self.model.embed(
-                    params, state, images, train=False, compute_dtype=dtype
+                @jax.jit
+                def run(images):
+                    return self.model.embed_quant(qparams, images)
+
+            else:
+                params, state = self.params, self.state
+                dtype = (
+                    jnp.bfloat16 if self.precision == "bfloat16" else jnp.float32
                 )
-                return emb
+
+                @jax.jit
+                def run(images):
+                    emb, _ = self.model.embed(
+                        params, state, images, train=False, compute_dtype=dtype
+                    )
+                    return emb
 
             self._embed_cache[bucket] = run
         return self._embed_cache[bucket]
 
     def embed(self, images: np.ndarray) -> np.ndarray:
         """fid extractor: (B,S,S,3) → (B,D), bucket-padded so a handful of
-        compiled programs serve every batch size."""
+        compiled programs serve every batch size. precision='int8'
+        auto-calibrates the quantized trunk on the first batch."""
+        if self.precision == "int8" and getattr(self, "_q_embed", None) is None:
+            folded = self.model.fold(self.params, self.state)
+            self._q_embed = jax.device_put(
+                self.model.quantize(folded, jnp.asarray(images[:16], jnp.float32))
+            )
         n = images.shape[0]
         bucket = next((b for b in _EMBED_BUCKETS if b >= n), None)
         if bucket is None:

@@ -85,7 +85,23 @@ def detect_coco(
     image_h, image_w = image.shape[:2]
     x = jnp.asarray(preprocess_coco(image, net_size, net_size))
 
-    if precision == "bfloat16":
+    if precision == "int8":
+        # Calibrated PTQ over the full 3-head graph (models/quant.py); the
+        # input image itself is the calibration sample for a single-image CLI.
+        from face_vijnana_yolov3_tpu.models import quant
+
+        folded = darknet.fold_graph_params(params, state, ops)
+        qparams = quant.quantize_folded(folded, x, ops)
+
+        @jax.jit
+        def run(x):
+            outs = quant.apply_graph_quant(qparams, x, ops)
+            return coco_postprocess(
+                (outs["yolo_82"][0], outs["yolo_94"][0], outs["yolo_106"][0]),
+                image_h, image_w, obj_thresh, nms_thresh,
+                net_h=net_size, net_w=net_size,
+            )
+    elif precision == "bfloat16":
         folded = darknet.fold_graph_params(params, state, ops)
 
         @jax.jit
@@ -158,7 +174,7 @@ def main(argv=None):
     parser.add_argument("--obj-thresh", type=float, default=0.5)
     parser.add_argument("--nms-thresh", type=float, default=0.45)
     parser.add_argument("--precision", default="float32",
-                        choices=["float32", "bfloat16"])
+                        choices=["float32", "bfloat16", "int8"])
     ns = parser.parse_args(argv)
 
     enable_compile_cache()

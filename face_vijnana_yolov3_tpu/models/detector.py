@@ -99,6 +99,36 @@ class FaceDetectorModel:
         ) + folded["head"]["bias"]
         return h.astype(jnp.float32)
 
+    # -------------------------------------------------------------- int8 serving
+
+    def quantize(self, folded, x_calib):
+        """Calibrated int8 qparams from folded params (models/quant.py).
+
+        TPU-native serving optimization (no reference counterpart): int8 MXU
+        is 2x bf16 peak on v5e and int8 activations halve HBM traffic.
+        """
+        from face_vijnana_yolov3_tpu.models import quant
+
+        return quant.quantize_folded(folded, x_calib, self.ops)
+
+    def apply_quant(self, qparams, x, *, head_dtype=jnp.bfloat16):
+        """int8 trunk + bf16 head forward; same (B,13,13,6) f32 contract."""
+        from face_vijnana_yolov3_tpu.models import quant
+
+        outs = quant.apply_graph_quant(qparams, x, self.ops)
+        feat = outs["trunk"].astype(head_dtype)
+        h = jax.lax.conv_general_dilated(
+            feat,
+            qparams["head"]["kernel"].astype(head_dtype),
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=(
+                jnp.float32 if head_dtype == jnp.float32 else None
+            ),
+        ) + qparams["head"]["bias"]
+        return h.astype(jnp.float32)
+
     # -------------------------------------------------------------- loss
 
     @staticmethod

@@ -90,6 +90,49 @@ class FaceIdentifierModel:
                                     L2_NORM_EPS))
         return (h / norm).astype(jnp.float32), new_state
 
+    # ---------------------------------------------------------- folded / int8
+
+    def fold(self, params, state):
+        """conv+BN folding of the trunk for the serving fast path."""
+        folded = darknet.fold_graph_params(params, state, self.ops)
+        folded["dense1"] = params["dense1"]
+        return folded
+
+    def _dense_l2norm(self, dense, feat, compute_dtype):
+        flat = feat.reshape(feat.shape[0], -1).astype(compute_dtype)
+        h = jnp.dot(
+            flat,
+            dense["kernel"].astype(compute_dtype),
+            preferred_element_type=(
+                jnp.float32 if compute_dtype == jnp.float32 else None
+            ),
+        ) + dense["bias"]
+        h = jnp.maximum(h.astype(jnp.float32), 0.0)
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(h * h, axis=-1, keepdims=True),
+                                    L2_NORM_EPS))
+        return h / norm
+
+    def embed_folded(self, folded, x, *, compute_dtype=jnp.bfloat16):
+        outs = darknet.apply_graph_folded(
+            folded, x, self.ops, compute_dtype=compute_dtype
+        )
+        return self._dense_l2norm(folded["dense1"], outs["trunk"], compute_dtype)
+
+    def quantize(self, folded, x_calib):
+        """Calibrated int8 qparams for the trunk; dense1 stays bf16 (it is
+        ~0.1% of the embed FLOPs and feeds the L2-normalize directly)."""
+        from face_vijnana_yolov3_tpu.models import quant
+
+        qparams = quant.quantize_folded(folded, x_calib, self.ops)
+        qparams["dense1"] = jax.device_get(folded["dense1"])
+        return qparams
+
+    def embed_quant(self, qparams, x, *, dense_dtype=jnp.bfloat16):
+        from face_vijnana_yolov3_tpu.models import quant
+
+        outs = quant.apply_graph_quant(qparams, x, self.ops)
+        return self._dense_l2norm(qparams["dense1"], outs["trunk"], dense_dtype)
+
     def triplet_forward(self, params, state, anchors, positives, negatives, *,
                         train: bool = False, compute_dtype=jnp.float32,
                         remat: bool = False):

@@ -1,0 +1,171 @@
+"""Post-training int8 quantization for the folded serving path.
+
+TPU-native serving optimization with no reference counterpart (the reference
+serves f32 Keras predict one image at a time, src/space/face_detection.py:899).
+The v5e MXU runs int8 at 2x bf16 peak and int8 activations halve HBM traffic —
+measured 1.3-1.5x per-conv over bf16 on the profile's top shapes
+(scripts/probe_int8.py).
+
+Scheme (standard symmetric PTQ):
+  * weights: per-output-channel int8, scale = maxabs/127 (exactly representable
+    folded conv+BN kernels — fold first, then quantize);
+  * activations: per-tensor static int8, scales calibrated by running the f32
+    folded forward on a calibration batch and recording maxabs after every
+    graph op (so residual adds/concats get their own scales);
+  * conv: int8 x int8 -> int32 accum -> f32 epilogue (dequant * in_scale *
+    w_scale + bias, leaky) -> requantize to the next position's scale. XLA
+    fuses the epilogue + requantize into the conv, so the tensor that hits HBM
+    between layers is int8.
+  * the 6-channel head conv stays bf16 (it is 0.02% of FLOPs and feeds the
+    postprocess's sigmoid-sensitive logits).
+
+Everything is static: scales are Python floats baked into the jitted program.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from face_vijnana_yolov3_tpu.models.darknet import LEAKY_ALPHA
+
+
+def calibrate_folded(folded_params, x, ops: list[tuple]) -> list[float]:
+    """Per-op-position activation scales from an f32 folded forward.
+
+    Returns scales[i] for each position i in `ops` = maxabs(activation after
+    op i) / 127, plus the network input scale prepended: the returned list has
+    len(ops)+1 entries, entry 0 is the input scale.
+
+    The whole calibration forward is ONE jitted program returning the stacked
+    maxabs vector — per-op host syncs would cost a device round-trip each over
+    a tunneled TPU.
+    """
+    from face_vijnana_yolov3_tpu.models.darknet import _conv2d
+
+    def fwd(folded_params, x):
+        maxes = [jnp.max(jnp.abs(x))]
+        saved: dict[str, jnp.ndarray] = {}
+        h = x.astype(jnp.float32)
+        for op in ops:
+            kind = op[0]
+            if kind == "conv":
+                _, idx, _out_c, k, stride, _bn, leaky = op
+                p = folded_params[f"conv_{idx}"]
+                h = _conv2d(h, p["kernel"], stride, k, jnp.float32) + p["bias"]
+                if leaky:
+                    h = jnp.where(h > 0, h, LEAKY_ALPHA * h)
+            elif kind in ("save", "mark"):
+                saved[op[1]] = h
+            elif kind == "add":
+                h = saved[op[1]] + h
+            elif kind == "restore":
+                h = saved[op[1]]
+            elif kind == "concat":
+                h = jnp.concatenate([h, saved[op[1]]], axis=-1)
+            elif kind == "upsample":
+                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+            elif kind == "output":
+                pass
+            else:
+                raise ValueError(f"unknown op {op}")
+            maxes.append(jnp.max(jnp.abs(h)))
+        return jnp.stack(maxes)
+
+    maxes = np.asarray(jax.jit(fwd)(folded_params, jnp.asarray(x)), np.float64)
+    return list(np.maximum(maxes, 1e-8) / 127.0)
+
+
+def quantize_folded(folded_params, x_calib, ops: list[tuple]) -> dict[str, Any]:
+    """folded f32 params + calibration batch -> int8 qparams pytree.
+
+    qparams:
+      "conv_{i}": {"kernel_q": int8 HWIO, "w_scale": (out,) f32, "bias": f32}
+      "act_scales": list of python floats (len(ops)+1, see calibrate_folded)
+      "head": untouched f32 head conv (kernel/bias) if present
+    """
+    scales = calibrate_folded(folded_params, x_calib, ops)
+    # One bulk device->host pull; per-conv np.asarray would be ~150 transfers.
+    folded_host = jax.device_get(folded_params)
+    qparams: dict[str, Any] = {"act_scales": scales}
+    for op in ops:
+        if op[0] != "conv":
+            continue
+        idx = op[1]
+        p = folded_host[f"conv_{idx}"]
+        kernel = np.asarray(p["kernel"], np.float32)
+        w_scale = np.maximum(np.abs(kernel).max(axis=(0, 1, 2)), 1e-8) / 127.0
+        kernel_q = np.clip(np.round(kernel / w_scale), -127, 127).astype(np.int8)
+        qparams[f"conv_{idx}"] = {
+            "kernel_q": kernel_q,
+            "w_scale": w_scale.astype(np.float32),
+            "bias": np.asarray(p["bias"], np.float32),
+        }
+    if "head" in folded_host:
+        qparams["head"] = folded_host["head"]
+    return qparams
+
+
+def _conv_int8(x_q, kernel_q, stride, k):
+    pad = ((1, 1), (1, 1)) if k > 1 else ((0, 0), (0, 0))
+    return jax.lax.conv_general_dilated(
+        x_q,
+        kernel_q,
+        window_strides=(stride, stride),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _quant(h_f32, scale: float):
+    return jnp.clip(jnp.round(h_f32 * (1.0 / scale)), -127, 127).astype(jnp.int8)
+
+
+def apply_graph_quant(qparams, x, ops: list[tuple]):
+    """int8 inference forward. x is f32/bf16 in network input space.
+
+    Activations travel between convs as int8 at the calibrated per-position
+    scales; conv epilogues (dequant+bias+leaky+requant) fuse into the convs.
+    Outputs are dequantized f32 (same contract as apply_graph_folded).
+    """
+    scales = qparams["act_scales"]
+    saved: dict[str, tuple[jnp.ndarray, float]] = {}
+    outputs: dict[str, jnp.ndarray] = {}
+    h_q = _quant(jnp.asarray(x, jnp.float32), scales[0])
+    s = scales[0]
+    for i, op in enumerate(ops):
+        kind = op[0]
+        s_out = scales[i + 1]
+        if kind == "conv":
+            _, idx, _out_c, k, stride, _bn, leaky = op
+            p = qparams[f"conv_{idx}"]
+            y = _conv_int8(h_q, p["kernel_q"], stride, k)
+            h_f = y.astype(jnp.float32) * (s * p["w_scale"]) + p["bias"]
+            if leaky:
+                h_f = jnp.where(h_f > 0, h_f, LEAKY_ALPHA * h_f)
+            h_q, s = _quant(h_f, s_out), s_out
+        elif kind in ("save", "mark"):
+            saved[op[1]] = (h_q, s)
+        elif kind == "add":
+            skip_q, skip_s = saved[op[1]]
+            h_f = skip_q.astype(jnp.float32) * skip_s + h_q.astype(jnp.float32) * s
+            h_q, s = _quant(h_f, s_out), s_out
+        elif kind == "restore":
+            h_q, s = saved[op[1]]
+        elif kind == "concat":
+            skip_q, skip_s = saved[op[1]]
+            h_f = jnp.concatenate(
+                [h_q.astype(jnp.float32) * s,
+                 skip_q.astype(jnp.float32) * skip_s], axis=-1)
+            h_q, s = _quant(h_f, s_out), s_out
+        elif kind == "upsample":
+            h_q = jnp.repeat(jnp.repeat(h_q, 2, axis=1), 2, axis=2)
+        elif kind == "output":
+            outputs[op[1]] = h_q.astype(jnp.float32) * s
+        else:
+            raise ValueError(f"unknown op {op}")
+    return outputs

@@ -1,0 +1,118 @@
+"""int8 post-training quantization (models/quant.py).
+
+The quantized serving path must stay numerically close to the f32 folded
+forward (symmetric per-channel weights + calibrated per-position activation
+scales) and support every graph op kind, including the full 3-head YOLOv3
+graph's restore/concat/upsample routes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from face_vijnana_yolov3_tpu.models import darknet, quant
+from face_vijnana_yolov3_tpu.models.detector import FaceDetectorModel
+
+
+@pytest.fixture(scope="module")
+def trunk_setup():
+    m = FaceDetectorModel(image_size=96)
+    params, state = m.init(jax.random.PRNGKey(0))
+    folded = m.fold(params, state)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 96, 96, 3), jnp.float32)
+    return m, params, state, folded, x
+
+
+def test_quant_close_to_f32(trunk_setup):
+    m, params, state, folded, x = trunk_setup
+    q = m.quantize(folded, x)
+    h_f32, _ = m.apply(params, state, x, train=False)
+    h_q = m.apply_quant(q, x, head_dtype=jnp.float32)
+    err = float(np.max(np.abs(np.asarray(h_q) - np.asarray(h_f32))))
+    ref = float(np.max(np.abs(np.asarray(h_f32))))
+    # 52 stacked int8 layers on a random-init net: a few percent relative.
+    assert err / ref < 0.08, f"rel err {err / ref}"
+
+
+def test_quant_structure(trunk_setup):
+    m, _params, _state, folded, x = trunk_setup
+    q = m.quantize(folded, x)
+    assert len(q["act_scales"]) == len(m.ops) + 1
+    assert all(s > 0 for s in q["act_scales"])
+    for op in m.ops:
+        if op[0] != "conv":
+            continue
+        entry = q[f"conv_{op[1]}"]
+        assert entry["kernel_q"].dtype == np.int8
+        assert int(np.abs(entry["kernel_q"]).max()) <= 127
+        # per-out-channel scale
+        assert entry["w_scale"].shape == (entry["kernel_q"].shape[-1],)
+        # every nonzero channel uses most of the int8 range (residual-end
+        # convs fold to all-zero kernels at random init — gamma starts 0)
+        maxima = np.abs(entry["kernel_q"]).max(axis=(0, 1, 2))
+        assert ((maxima >= 126) | (maxima == 0)).all()
+
+
+def test_quant_weight_roundtrip(trunk_setup):
+    m, _params, _state, folded, x = trunk_setup
+    q = m.quantize(folded, x)
+    folded_host = jax.device_get(folded)
+    k = np.asarray(folded_host["conv_0"]["kernel"], np.float32)
+    kq = q["conv_0"]["kernel_q"].astype(np.float32) * q["conv_0"]["w_scale"]
+    # dequantized weights within half a quantization step
+    assert np.max(np.abs(k - kq)) <= 0.51 * q["conv_0"]["w_scale"].max()
+
+
+def test_quant_full_yolov3_graph_runs():
+    """restore/concat/upsample route coverage via the 3-head demo graph."""
+    ops = darknet.yolov3_graph()
+    params, state = darknet.init_graph_params(ops, jax.random.PRNGKey(0))
+    folded = darknet.fold_graph_params(params, state, ops)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 96, 96, 3), jnp.float32)
+    q = quant.quantize_folded(folded, x, ops)
+    outs_q = quant.apply_graph_quant(q, x, ops)
+    outs_f = darknet.apply_graph_folded(folded, x, ops, compute_dtype=jnp.float32)
+    assert set(outs_q) == {"yolo_82", "yolo_94", "yolo_106"}
+    for k in outs_q:
+        assert outs_q[k].shape == outs_f[k].shape
+        ref = float(np.max(np.abs(np.asarray(outs_f[k])))) + 1e-6
+        err = float(np.max(np.abs(np.asarray(outs_q[k]) - np.asarray(outs_f[k]))))
+        assert err / ref < 0.15, f"{k}: rel err {err / ref}"
+
+
+def test_identifier_quant_embeddings_close():
+    """int8 fid-extractor embeddings stay close to the live-BN f32 path
+    (unit-norm vectors, so L2 distance is the right closeness measure)."""
+    from face_vijnana_yolov3_tpu.models.identifier import FaceIdentifierModel
+
+    m = FaceIdentifierModel(image_size=96)
+    params, state = m.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 96, 96, 3), jnp.float32)
+    folded = m.fold(params, state)
+    q = m.quantize(folded, x)
+    e_f32, _ = m.embed(params, state, x, train=False)
+    e_q = m.embed_quant(q, x, dense_dtype=jnp.float32)
+    e_fold = m.embed_folded(folded, x, compute_dtype=jnp.float32)
+    assert np.allclose(np.asarray(e_fold), np.asarray(e_f32), atol=1e-3)
+    dist = np.linalg.norm(np.asarray(e_q) - np.asarray(e_f32), axis=-1)
+    norms = np.linalg.norm(np.asarray(e_q), axis=-1)
+    assert np.allclose(norms, 1.0, atol=1e-4)  # still unit-normalized
+    assert dist.max() < 0.2, f"embedding drift {dist.max()}"
+
+
+def test_pipeline_int8_auto_calibration(tmp_path):
+    """precision='int8' pipeline auto-calibrates on the first batch and
+    produces the same candidate contract as the f32 path."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+
+    conf = FdConf(weights_path=str(tmp_path / "missing.weights"))
+    conf.nn_arch.image_size = 96
+    fd32 = FaceDetectorPipeline(conf)
+    fd8 = FaceDetectorPipeline(conf, precision="int8")
+    x = np.random.default_rng(0).uniform(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    c32, n32 = fd32.detect_batch(x)
+    c8, n8 = fd8.detect_batch(x)
+    assert fd8._qparams is not None
+    assert c8.shape == c32.shape and n8.shape == n32.shape
