@@ -1,0 +1,67 @@
+"""Spatial (conv-grid) partitioning: sharded detect == single-device detect.
+
+Runs the fused detect forward with images sharded P('data','model') — batch
+over 4 data shards, height over 2 model shards — on the virtual 8-device CPU
+mesh and checks bitwise-level agreement with the unsharded program. GSPMD must
+insert correct halo exchanges for every 3x3 conv (incl. strided downsamples)
+for this to hold.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from face_vijnana_yolov3_tpu.models.detector import FaceDetectorModel
+from face_vijnana_yolov3_tpu.ops.postprocess import FacePostprocessConfig
+from face_vijnana_yolov3_tpu.parallel import mesh as mesh_lib
+from face_vijnana_yolov3_tpu.parallel import spatial
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = FaceDetectorModel(image_size=64)
+    params, state = model.init(jax.random.PRNGKey(0))
+    folded = model.fold(params, state)
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.uniform(size=(4, 64, 64, 3)), jnp.float32)
+    return model, folded, images
+
+
+def test_spatial_sharded_head_matches_single_device(setup):
+    model, folded, images = setup
+    mesh = mesh_lib.make_mesh(8, model_axis=2)
+
+    ref = model.apply_folded(folded, images, compute_dtype=jnp.float32)
+    fn = spatial.detect_spatial(mesh=mesh, model=model, compute_dtype=jnp.float32)
+    out = fn(folded, images)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_spatial_sharded_postprocess_matches(setup):
+    model, folded, images = setup
+    mesh = mesh_lib.make_mesh(8, model_axis=2)
+    cfg = FacePostprocessConfig(image_size=64, grid=2)
+
+    from face_vijnana_yolov3_tpu.ops.postprocess import face_postprocess
+
+    head = model.apply_folded(folded, images, compute_dtype=jnp.float32)
+    ref_cands, ref_counts = jax.vmap(lambda h: face_postprocess(h, cfg))(head)
+
+    fn = spatial.detect_spatial(
+        mesh=mesh, model=model, compute_dtype=jnp.float32, postprocess_cfg=cfg
+    )
+    cands, counts = fn(folded, images)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_counts))
+    np.testing.assert_allclose(np.asarray(cands), np.asarray(ref_cands), atol=1e-5)
+
+
+def test_spatial_sharding_nondivisible_height(setup):
+    """H=64 over 2 shards divides; the 2x2-grid head (64/32) over 2 shards
+    exercises GSPMD's internal padding for tiny non-tile-aligned dims."""
+    model, folded, images = setup
+    mesh = mesh_lib.make_mesh(8, model_axis=4)  # 4-way H split of a 64-row image
+    ref = model.apply_folded(folded, images, compute_dtype=jnp.float32)
+    fn = spatial.detect_spatial(mesh=mesh, model=model, compute_dtype=jnp.float32)
+    out = fn(folded, images)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
