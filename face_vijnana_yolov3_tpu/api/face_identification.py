@@ -190,6 +190,8 @@ class FaceIdentifierPipeline:
             pairs_pickle=pairs_pickle,
             load_flag=False,
         )
+        import jax.numpy as jnp
+
         self.params, self.state, losses = train_identifier(
             self.model,
             self.params,
@@ -199,6 +201,11 @@ class FaceIdentifierPipeline:
             checkpoint_path=self.conf.model_path,
             init_opt_state=self.opt_state,
             history_path=self.conf.model_path + "_history.jsonl",
+            # bfloat16 pipeline precision = mixed-precision training; int8 is
+            # serving-only, train falls back to strict f32.
+            compute_dtype=(
+                jnp.bfloat16 if self.precision == "bfloat16" else None
+            ),
         )
         self._embed_cache.clear()
         print("Save the model.")

@@ -52,11 +52,18 @@ def train_detector(
     init_opt_state=None,
     history_path: str | None = None,
     finalize_bn: bool = True,
+    compute_dtype=None,
 ):
     """Train the face detector; returns (params, state, losses).
 
     hps: lr/beta_1/beta_2/decay/epochs/batch_size (reference hps schema). Writes
     hps['step'] back like the reference's Sequence does.
+
+    compute_dtype: None/f32 = strict f32 (reference-faithful; Precision.HIGHEST
+    convs). jnp.bfloat16 = mixed precision — fwd/bwd convs in bf16, master
+    params/grads/Adam state stay f32, loss in f32 — measured 515 vs 150 img/s
+    at batch 128 on one v5e chip. BN recalibration (finalize_bn) always runs
+    f32 regardless.
     """
     if mesh is None:
         mesh = mesh_lib.make_mesh()
@@ -75,9 +82,13 @@ def train_detector(
     repl = mesh_lib.replicated(mesh)
     data = mesh_lib.batch_sharded(mesh)
 
+    dtype = compute_dtype if compute_dtype is not None else jax.numpy.float32
+
     def step_fn(params, state, opt_state, images, gts, weights):
         def loss_fn(p):
-            pred, new_state = model.apply(p, state, images, train=True)
+            pred, new_state = model.apply(
+                p, state, images, train=True, compute_dtype=dtype
+            )
             # Weighted MSE so shard-padding rows are inert; with all-ones weights
             # this is exactly Keras loss='mse'.
             per = jax.numpy.mean(
@@ -195,8 +206,14 @@ def train_identifier(
     init_opt_state=None,
     history_path: str | None = None,
     finalize_bn: bool = True,
+    compute_dtype=None,
 ):
-    """Train the triplet embedder; returns (params, state, losses)."""
+    """Train the triplet embedder; returns (params, state, losses).
+
+    compute_dtype: as in train_detector — None/f32 strict, jnp.bfloat16 mixed
+    precision (f32 master params, bf16 fwd/bwd), composes with the per-block
+    remat the triplet step always uses.
+    """
     if mesh is None:
         mesh = mesh_lib.make_mesh()
     batch_size = int(hps["batch_size"])
@@ -214,12 +231,15 @@ def train_identifier(
     data = mesh_lib.batch_sharded(mesh)
     n_dev = mesh.devices.size
 
+    dtype = compute_dtype if compute_dtype is not None else jax.numpy.float32
+
     def step_fn(params, state, opt_state, a, p, n, weights):
         def loss_fn(prm):
             # remat: triplet batches stack 3x images through the 40M-param
             # trunk — checkpointing residual blocks keeps HBM flat.
             out, new_state = model.triplet_forward(
-                prm, state, a, p, n, train=True, remat=True
+                prm, state, a, p, n, train=True, remat=True,
+                compute_dtype=dtype,
             )
             d = model.dense1_dim
             ea, ep, en = out[:, :d], out[:, d : 2 * d], out[:, 2 * d :]

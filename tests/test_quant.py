@@ -81,6 +81,22 @@ def test_quant_full_yolov3_graph_runs():
         assert err / ref < 0.15, f"{k}: rel err {err / ref}"
 
 
+def test_fused_residual_requant_matches_unfused(trunk_setup):
+    """fuse_residual folds the 23 skip adds into conv epilogues with ONE
+    requant to the post-add scale (half the rounding of the unfused form) —
+    outputs must stay within one quantization step of the unfused path."""
+    m, _params, _state, folded, x = trunk_setup
+    q = m.quantize(folded, x)
+    out_fused = quant.apply_graph_quant(q, x, m.ops, fuse_residual=True)["trunk"]
+    out_plain = quant.apply_graph_quant(q, x, m.ops, fuse_residual=False)["trunk"]
+    # Both end at the same final requant scale; values may differ by 1 step
+    # at the handful of positions where single-vs-double rounding flips a bin.
+    final_scale = q["act_scales"][-1]
+    diff = np.abs(np.asarray(out_fused) - np.asarray(out_plain))
+    assert diff.max() <= 2.01 * final_scale, (diff.max(), final_scale)
+    assert (diff > 0).mean() < 0.10  # overwhelmingly identical
+
+
 def test_identifier_quant_embeddings_close():
     """int8 fid-extractor embeddings stay close to the live-BN f32 path
     (unit-norm vectors, so L2 distance is the right closeness measure)."""

@@ -87,6 +87,28 @@ def test_train_detector_spmd_loss_decreases():
     assert np.isfinite(losses).all()
 
 
+def test_train_detector_bf16_mixed_precision_learns():
+    """compute_dtype=bfloat16: bf16 fwd/bwd with f32 master params — loss must
+    still descend and params must remain f32 (mixed precision, not bf16 opt)."""
+    from face_vijnana_yolov3_tpu.train.trainer import train_detector
+
+    model = FaceDetectorModel(image_size=32)
+    params, state = model.init(jax.random.PRNGKey(0))
+    dataset = _FakeDetectionDataset(n=8, image_size=32)
+    hps = {
+        "lr": 1e-3, "beta_1": 0.9, "beta_2": 0.999, "decay": 0.0,
+        "epochs": 6, "batch_size": 8, "step": 1,
+    }
+    params, state, losses = train_detector(
+        model, params, state, dataset, hps, mesh=mesh_lib.make_mesh(8),
+        log_every=0, finalize_bn=False, compute_dtype=jnp.bfloat16,
+    )
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+    assert params["head"]["kernel"].dtype == jnp.float32
+    assert params["conv_0"]["kernel"].dtype == jnp.float32
+
+
 def test_train_detector_remainder_batch_padding():
     from face_vijnana_yolov3_tpu.train.trainer import _pad_batch
 
