@@ -118,12 +118,14 @@ class FaceIdentifierModel:
         )
         return self._dense_l2norm(folded["dense1"], outs["trunk"], compute_dtype)
 
-    def quantize(self, folded, x_calib):
+    def quantize(self, folded, x_calib, *, percentile: float | None = None):
         """Calibrated int8 qparams for the trunk; dense1 stays bf16 (it is
         ~0.1% of the embed FLOPs and feeds the L2-normalize directly)."""
         from face_vijnana_yolov3_tpu.models import quant
 
-        qparams = quant.quantize_folded(folded, x_calib, self.ops)
+        qparams = quant.quantize_folded(
+            folded, x_calib, self.ops, percentile=percentile
+        )
         qparams["dense1"] = jax.device_get(folded["dense1"])
         return qparams
 

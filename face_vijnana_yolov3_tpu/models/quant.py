@@ -33,12 +33,21 @@ import numpy as np
 from face_vijnana_yolov3_tpu.models.darknet import LEAKY_ALPHA
 
 
-def calibrate_folded(folded_params, x, ops: list[tuple]) -> list[float]:
+def calibrate_folded(
+    folded_params, x, ops: list[tuple], *, percentile: float | None = None
+) -> list[float]:
     """Per-op-position activation scales from an f32 folded forward.
 
     Returns scales[i] for each position i in `ops` = maxabs(activation after
     op i) / 127, plus the network input scale prepended: the returned list has
     len(ops)+1 entries, entry 0 is the input scale.
+
+    percentile: None (default) uses exact maxabs — faithful to what the
+    AP-parity validation ran. A value like 99.9 clips each position's range to
+    that percentile of |activation| instead, which is robust to lone outlier
+    activations (one hot pixel otherwise stretches the int8 grid for the whole
+    tensor). Computed per position via a fixed-size quantile on the flattened
+    |h| (jnp.percentile), still inside the single calibration program.
 
     The whole calibration forward is ONE jitted program returning the stacked
     maxabs vector — per-op host syncs would cost a device round-trip each over
@@ -46,8 +55,13 @@ def calibrate_folded(folded_params, x, ops: list[tuple]) -> list[float]:
     """
     from face_vijnana_yolov3_tpu.models.darknet import _conv2d
 
+    def stat(h):
+        if percentile is None:
+            return jnp.max(jnp.abs(h))
+        return jnp.percentile(jnp.abs(h).ravel(), percentile)
+
     def fwd(folded_params, x):
-        maxes = [jnp.max(jnp.abs(x))]
+        maxes = [stat(x)]
         saved: dict[str, jnp.ndarray] = {}
         h = x.astype(jnp.float32)
         for op in ops:
@@ -72,22 +86,27 @@ def calibrate_folded(folded_params, x, ops: list[tuple]) -> list[float]:
                 pass
             else:
                 raise ValueError(f"unknown op {op}")
-            maxes.append(jnp.max(jnp.abs(h)))
+            maxes.append(stat(h))
         return jnp.stack(maxes)
 
     maxes = np.asarray(jax.jit(fwd)(folded_params, jnp.asarray(x)), np.float64)
     return list(np.maximum(maxes, 1e-8) / 127.0)
 
 
-def quantize_folded(folded_params, x_calib, ops: list[tuple]) -> dict[str, Any]:
+def quantize_folded(
+    folded_params, x_calib, ops: list[tuple], *, percentile: float | None = None
+) -> dict[str, Any]:
     """folded f32 params + calibration batch -> int8 qparams pytree.
 
     qparams:
       "conv_{i}": {"kernel_q": int8 HWIO, "w_scale": (out,) f32, "bias": f32}
       "act_scales": list of python floats (len(ops)+1, see calibrate_folded)
       "head": untouched f32 head conv (kernel/bias) if present
+
+    percentile: optional outlier-robust activation calibration
+    (see calibrate_folded).
     """
-    scales = calibrate_folded(folded_params, x_calib, ops)
+    scales = calibrate_folded(folded_params, x_calib, ops, percentile=percentile)
     # One bulk device->host pull; per-conv np.asarray would be ~150 transfers.
     folded_host = jax.device_get(folded_params)
     qparams: dict[str, Any] = {"act_scales": scales}

@@ -81,6 +81,26 @@ def test_quant_full_yolov3_graph_runs():
         assert err / ref < 0.15, f"{k}: rel err {err / ref}"
 
 
+def test_percentile_calibration_robust_to_outliers(trunk_setup):
+    """percentile=99.9 calibration must (a) still produce a close forward on
+    clean data and (b) give tighter input scales than maxabs when the
+    calibration batch carries a lone outlier pixel."""
+    m, params, state, folded, x = trunk_setup
+    q_pct = m.quantize(folded, x, percentile=99.9)
+    h_f32, _ = m.apply(params, state, x, train=False)
+    h_q = m.apply_quant(q_pct, x, head_dtype=jnp.float32)
+    err = float(np.max(np.abs(np.asarray(h_q) - np.asarray(h_f32))))
+    ref = float(np.max(np.abs(np.asarray(h_f32))))
+    assert err / ref < 0.08, f"rel err {err / ref}"
+
+    x_out = np.asarray(x).copy()
+    x_out[0, 0, 0, 0] = 1000.0  # lone hot pixel
+    s_max = m.quantize(folded, jnp.asarray(x_out))["act_scales"][0]
+    s_pct = m.quantize(folded, jnp.asarray(x_out), percentile=99.9)["act_scales"][0]
+    assert s_max > 5.0  # maxabs stretched by the outlier
+    assert s_pct < 0.1  # percentile ignores it
+
+
 def test_fused_residual_requant_matches_unfused(trunk_setup):
     """fuse_residual folds the 23 skip adds into conv epilogues with ONE
     requant to the post-add scale (half the rounding of the unfused form) —
