@@ -93,6 +93,38 @@ def test_fused_pipeline_matches_host_pipeline(tmp_path):
         np.testing.assert_allclose(boxes_a, boxes_b, atol=1e-3)
 
 
+def test_detect_batch_fused_uint8_and_uniform_geometry():
+    """uint8 staged batches (device-side /255) and the uniform-geometry
+    single-matrix broadcast must match the f32 stacked-matrix path."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_geometry
+
+    conf = FdConf(weights_path="missing.weights")
+    conf.nn_arch.image_size = 64
+    conf.hps.face_conf_th = 0.05
+    fd = FaceDetectorPipeline(conf)
+
+    rng = np.random.default_rng(5)
+    h, w = 100, 140
+    staged_u8 = rng.uniform(0, 255, (2, h, w, 3)).astype(np.uint8)
+    geoms = [letterbox_geometry(h, w, 64)] * 2  # uniform -> broadcast branch
+    c_u8, n_u8 = fd.detect_batch_fused(staged_u8, geoms)
+    c_f32, n_f32 = fd.detect_batch_fused(
+        staged_u8.astype(np.float32) / 255, geoms
+    )
+    np.testing.assert_array_equal(n_u8, n_f32)
+    np.testing.assert_allclose(c_u8, c_f32, atol=1e-3)
+
+    # mixed geometries take the stacked-matrix branch; second image smaller
+    staged_mix = staged_u8.copy()
+    staged_mix[1, 80:] = 0
+    staged_mix[1, :, 120:] = 0
+    geoms_mix = [letterbox_geometry(h, w, 64), letterbox_geometry(80, 120, 64)]
+    c_mix, n_mix = fd.detect_batch_fused(staged_mix, geoms_mix)
+    assert c_mix.shape == c_u8.shape and n_mix.shape == n_u8.shape
+
+
 @pytest.mark.parametrize("h,w", [(300, 500), (500, 300), (120, 97)])
 def test_matmul_letterbox_matches_host(h, w):
     from face_vijnana_yolov3_tpu.ops.resize import (
