@@ -88,7 +88,7 @@ def main():
     best, best_path, best_batch = 0.0, "", 0
     for path, step, w, batches in (
         ("bf16", step_bf16, folded, (128,)),
-        ("int8", step_int8, qparams, (384, 512)),
+        ("int8", step_int8, qparams, (512, 1024)),
     ):
         for batch in batches:
             try:
