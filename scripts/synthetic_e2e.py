@@ -7,8 +7,10 @@ trains the detector FROM RANDOM INIT through the real training pipeline
 train→detect→NMS→CSV→AP loop the reference publishes numbers for, exercised
 as one system.
 
-Usage: python scripts/synthetic_e2e.py [workdir] [epochs]
-Prints the per-threshold APs; on a v5e chip ~3-4 minutes.
+Usage: python scripts/synthetic_e2e.py [workdir] [epochs] [n_train] [n_val] [precision]
+Prints the per-threshold APs; at the defaults (25 epochs, 160 train images)
+~3-4 minutes on a v5e chip. Larger n_train/epochs approach the reference's
+training recipe scale (~19k steps) for a real generalization check.
 """
 
 import os
@@ -62,6 +64,9 @@ def make_dataset(root: str, n_train: int = 160, n_val: int = 40,
 def main():
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fvy_synth"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    n_train = int(sys.argv[3]) if len(sys.argv) > 3 else 160
+    n_val = int(sys.argv[4]) if len(sys.argv) > 4 else 40
+    precision = sys.argv[5] if len(sys.argv) > 5 else "float32"
 
     from face_vijnana_yolov3_tpu.utils.runtime import enable_compile_cache
 
@@ -71,8 +76,8 @@ def main():
     from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
     from face_vijnana_yolov3_tpu.evals.detection import map_sweep
 
-    print(f"dataset → {workdir}")
-    make_dataset(workdir)
+    print(f"dataset → {workdir} ({n_train} train / {n_val} val)")
+    make_dataset(workdir, n_train=n_train, n_val=n_val)
 
     conf = FdConf(
         raw_data_path=workdir,
@@ -86,7 +91,7 @@ def main():
     conf.hps.batch_size = 16
     conf.hps.face_conf_th = 0.5
 
-    fd = FaceDetectorPipeline(conf)
+    fd = FaceDetectorPipeline(conf, precision=precision)
     losses = fd.train()
     print(f"loss: first {losses[0]:.4f} → last {losses[-1]:.4f}")
 
