@@ -119,7 +119,14 @@ class FaceDetectorPipeline:
         self._qparams = jax.device_put(
             self.model.quantize(folded, jnp.asarray(images[:16], jnp.float32))
         )
+        self._invalidate_jits()
+
+    def _invalidate_jits(self):
+        """Drop compiled detect programs after params/qparams change — the
+        fused closures capture the inner detect, so a stale cache would keep
+        serving old weights/scales."""
         self._jit_detect = None
+        self._fused_cache = {}
 
     def _build_detect(self):
         cfg = self._pp_cfg
@@ -191,6 +198,7 @@ class FaceDetectorPipeline:
             image_size=self.image_size,
             grid=self.grid,
             channels=self.nn_arch["bb_info_c_size"],
+            cache=getattr(self.conf, "dataset_cache", "none"),
         )
         import jax.numpy as jnp
 
@@ -209,13 +217,19 @@ class FaceDetectorPipeline:
             compute_dtype=(
                 jnp.bfloat16 if self.precision == "bfloat16" else None
             ),
+            checkpoint_every=getattr(self.conf, "checkpoint_every", 0),
         )
         print("Save the model.")
+        # Trained params invalidate every compiled detect program and any int8
+        # calibration (detect_batch re-calibrates on its next int8 call).
+        self._invalidate_jits()
+        self._qparams = None
         return losses
 
     # -------------------------------------------------------------- evaluate/test
 
-    def detect_batch_fused(self, staged: np.ndarray, geoms: list):
+    def detect_batch_fused(self, staged: np.ndarray, geoms: list,
+                           pad_batch_to: int | None = None):
         """Fused strict letterbox + detect, entirely on device.
 
         `staged` is (B, maxH, maxW, 3) images packed top-left — uint8 raw
@@ -229,11 +243,30 @@ class FaceDetectorPipeline:
         Letterbox matrices are cached per geometry, and a batch of identical
         geometries (the common camera/video case) uploads ONE matrix pair and
         broadcasts on device instead of B stacked copies.
+
+        The jitted program is keyed on the staging shape, so the staging dims
+        are bucketed up to multiples of 128 and (with pad_batch_to) the batch
+        padded to a fixed size: mixed-resolution test sets then reuse a few
+        programs instead of recompiling per chunk (cold axon compiles are
+        60-90s each). The pad area is zeros; the letterbox matrices read only
+        each image's own src rows/cols, so results are unchanged.
         """
         from face_vijnana_yolov3_tpu.ops.resize import (
             letterbox_matrices,
             letterbox_device_matmul,
         )
+
+        n_real = staged.shape[0]
+        bucket_h = -(-staged.shape[1] // 128) * 128
+        bucket_w = -(-staged.shape[2] // 128) * 128
+        pad_b = max(pad_batch_to or 0, n_real)
+        if (bucket_h, bucket_w) != staged.shape[1:3] or pad_b != n_real:
+            padded = np.zeros(
+                (pad_b, bucket_h, bucket_w, 3), staged.dtype
+            )
+            padded[:n_real, : staged.shape[1], : staged.shape[2]] = staged
+            staged = padded
+            geoms = list(geoms) + [geoms[-1]] * (pad_b - n_real)
 
         max_h, max_w = staged.shape[1], staged.shape[2]
         if not hasattr(self, "_mat_cache"):
@@ -262,7 +295,7 @@ class FaceDetectorPipeline:
             return s.astype(jnp.float32)
 
         if self.precision == "int8" and getattr(self, "_qparams", None) is None:
-            k = min(8, staged.shape[0])
+            k = min(8, n_real)
             lb = jax.jit(
                 lambda s, r, c: letterbox_device_matmul(
                     to_unit_f32(s), jnp.broadcast_to(r, (k,) + r.shape[1:]),
@@ -276,7 +309,7 @@ class FaceDetectorPipeline:
         if self._jit_detect is None:
             self._build_detect()
         key = ("fused", staged.shape, staged.dtype.str, uniform)
-        if not hasattr(self, "_fused_cache"):
+        if not hasattr(self, "_fused_cache") or self._fused_cache is None:
             self._fused_cache = {}
         if key not in self._fused_cache:
             inner = self._jit_detect
@@ -298,7 +331,7 @@ class FaceDetectorPipeline:
         cands, counts = self._fused_cache[key](
             jnp.asarray(staged), jnp.asarray(row_ms), jnp.asarray(col_ms)
         )
-        return np.asarray(cands), np.asarray(counts)
+        return np.asarray(cands)[:n_real], np.asarray(counts)[:n_real]
 
     def _iter_detections(self, file_names: list[str], batch_size: int,
                          device_letterbox: bool | None = None):
@@ -370,7 +403,9 @@ class FaceDetectorPipeline:
         )
         for chunk, (kind, batch, geoms, originals) in zip(chunks, loaded):
             if kind == "staged":
-                cands, counts = self.detect_batch_fused(batch, geoms)
+                cands, counts = self.detect_batch_fused(
+                    batch, geoms, pad_batch_to=batch_size
+                )
             else:
                 cands, counts = self.detect_batch(batch)
             for k, fn in enumerate(chunk):
@@ -485,20 +520,35 @@ class FaceDetectorPipeline:
                 self._write_rows(f, fn, boxes)
 
 
+def _parse_cli(argv: list[str]) -> tuple[str | None, list[str]]:
+    """(conf_path, overrides) from CLI args. `--set key=value` works in all
+    shell forms: two tokens (`--set k=v`), `--set=k=v`, or one quoted token."""
+    conf_path = None
+    overrides: list[str] = []
+    it = iter(argv)
+    for a in it:
+        if a.startswith("--conf="):
+            conf_path = a.split("=", 1)[1]
+        elif a == "--set":
+            nxt = next(it, None)
+            if nxt is None:
+                raise SystemExit("--set requires a key=value argument")
+            overrides.append(nxt)
+        elif a.startswith("--set="):
+            overrides.append(a.split("=", 1)[1])
+        elif a.startswith("--set "):
+            overrides.append(a.split(" ", 1)[1])
+        else:
+            overrides.append(a)
+    return conf_path, overrides
+
+
 def main(argv: list[str] | None = None):
     from face_vijnana_yolov3_tpu.utils.runtime import enable_compile_cache
 
     enable_compile_cache()
     argv = sys.argv[1:] if argv is None else argv
-    conf_path = None
-    overrides = []
-    for a in argv:
-        if a.startswith("--conf="):
-            conf_path = a.split("=", 1)[1]
-        elif a.startswith("--set"):
-            overrides.append(a.split(" ", 1)[1] if " " in a else a[6:])
-        else:
-            overrides.append(a)
+    conf_path, overrides = _parse_cli(argv)
     conf = load_conf(conf_path)
     apply_overrides(conf, overrides)
     fd_conf = conf.fd_conf

@@ -403,13 +403,9 @@ def main(argv: list[str] | None = None):
 
     enable_compile_cache()
     argv = sys.argv[1:] if argv is None else argv
-    conf_path = None
-    overrides = []
-    for a in argv:
-        if a.startswith("--conf="):
-            conf_path = a.split("=", 1)[1]
-        else:
-            overrides.append(a)
+    from face_vijnana_yolov3_tpu.api.face_detection import _parse_cli
+
+    conf_path, overrides = _parse_cli(argv)
     conf = load_conf(conf_path)
     apply_overrides(conf, overrides)
     mode = conf.fi_conf.mode

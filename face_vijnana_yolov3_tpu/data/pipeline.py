@@ -33,14 +33,19 @@ def prefetch_batches(
     stop = object()
 
     def worker():
+        # Forward worker exceptions to the consumer: swallowing them would end
+        # the iteration early and make a failed run (corrupt image, bad CSV row)
+        # look like a successful short one — truncated solution CSVs, silently
+        # shortened epochs.
         try:
             for i in range(num_batches):
                 batch = make_batch(i)
                 if device_put:
                     batch = jax.device_put(batch)
                 q.put(batch)
-        finally:
             q.put(stop)
+        except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -48,5 +53,8 @@ def prefetch_batches(
         item = q.get()
         if item is stop:
             break
+        if isinstance(item, BaseException):
+            t.join()
+            raise item
         yield item
     t.join()

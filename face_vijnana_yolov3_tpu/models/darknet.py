@@ -285,7 +285,14 @@ def apply_graph(
         for seg_ops in remat_segments(ops):
             core = [op for op in seg_ops if op[0] != "output"]
             h, st = make_seg(core)(h, params, state)
-            new_state.update({k: st[k] for k in st if k.startswith("bnorm_")})
+            # Each segment's returned state contains ALL bnorm keys (the ones
+            # outside the segment are stale pass-throughs of the input state);
+            # merge only the keys this segment actually updated, or later
+            # segments would overwrite earlier segments' moving-stat updates.
+            seg_bn = {
+                f"bnorm_{op[1]}" for op in core if op[0] == "conv" and op[5]
+            }
+            new_state.update({k: st[k] for k in st if k in seg_bn})
             for op in seg_ops:
                 if op[0] == "output":
                     outputs[op[1]] = h.astype(jnp.float32)

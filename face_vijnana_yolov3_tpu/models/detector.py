@@ -16,6 +16,30 @@ import jax.numpy as jnp
 from face_vijnana_yolov3_tpu.models import darknet
 
 
+def _head_conv(feat, head_params, compute_dtype):
+    """3x3 'same' linear head conv, honoring the repo precision contract:
+    f32 requests Precision.HIGHEST (the TPU default silently lowers f32
+    matmul/conv to bf16, ~1e-2 logit error — enough to flip sigmoid/threshold
+    decisions near face_conf_th); bf16 keeps the default single-pass MXU
+    lowering with no preferred_element_type (see darknet._conv2d)."""
+    if compute_dtype == jnp.float32:
+        precision = jax.lax.Precision.HIGHEST
+        preferred = jnp.float32
+    else:
+        precision = jax.lax.Precision.DEFAULT
+        preferred = None
+    h = jax.lax.conv_general_dilated(
+        feat,
+        head_params["kernel"].astype(compute_dtype),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred,
+        precision=precision,
+    ) + head_params["bias"]
+    return h.astype(jnp.float32)
+
+
 class FaceDetectorModel:
     """Pure-functional face detector; params/state are explicit pytrees."""
 
@@ -65,17 +89,7 @@ class FaceDetectorModel:
             compute_dtype=compute_dtype, remat=remat, bn_momentum=bn_momentum,
         )
         feat = outs["trunk"].astype(compute_dtype)
-        h = jax.lax.conv_general_dilated(
-            feat,
-            params["head"]["kernel"].astype(compute_dtype),
-            window_strides=(1, 1),
-            padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=(
-                jnp.float32 if compute_dtype == jnp.float32 else None
-            ),
-        ) + params["head"]["bias"]
-        return h.astype(jnp.float32), new_state
+        return _head_conv(feat, params["head"], compute_dtype), new_state
 
     def fold(self, params, state):
         folded = darknet.fold_graph_params(params, state, self.ops)
@@ -87,17 +101,7 @@ class FaceDetectorModel:
             folded, x, self.ops, compute_dtype=compute_dtype
         )
         feat = outs["trunk"].astype(compute_dtype)
-        h = jax.lax.conv_general_dilated(
-            feat,
-            folded["head"]["kernel"].astype(compute_dtype),
-            window_strides=(1, 1),
-            padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=(
-                jnp.float32 if compute_dtype == jnp.float32 else None
-            ),
-        ) + folded["head"]["bias"]
-        return h.astype(jnp.float32)
+        return _head_conv(feat, folded["head"], compute_dtype)
 
     # -------------------------------------------------------------- int8 serving
 
@@ -120,17 +124,7 @@ class FaceDetectorModel:
 
         outs = quant.apply_graph_quant(qparams, x, self.ops)
         feat = outs["trunk"].astype(head_dtype)
-        h = jax.lax.conv_general_dilated(
-            feat,
-            qparams["head"]["kernel"].astype(head_dtype),
-            window_strides=(1, 1),
-            padding=((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=(
-                jnp.float32 if head_dtype == jnp.float32 else None
-            ),
-        ) + qparams["head"]["bias"]
-        return h.astype(jnp.float32)
+        return _head_conv(feat, qparams["head"], head_dtype)
 
     # -------------------------------------------------------------- loss
 

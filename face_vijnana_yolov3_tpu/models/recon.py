@@ -65,10 +65,19 @@ class FaceReconstructionModel:
 
     def init(self, rng: jax.Array, identifier_params: dict):
         """Decoder params: trunk kernels shared by reference, dense1ᵀ + random
-        bias, fresh BN (gamma=1, beta=0, zero stats) per deconv."""
+        bias, fresh BN (gamma=1, beta=0, zero stats) per deconv.
+
+        Host-side numpy init (repo rule): ~4 eager device arrays per deconv
+        across ~72 deconvs would cost minutes of tiny-op compiles over a
+        tunneled TPU; numpy arrays transfer lazily on first real use.
+        """
+        import numpy as np
+
+        seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1]) & 0x7FFFFFFF
+        np_rng = np.random.default_rng(seed)
         params: dict = {"dense1_t": {
-            "kernel": identifier_params["dense1"]["kernel"].T,
-            "bias": jax.random.uniform(rng, (self.flat_dim,), jnp.float32),
+            "kernel": np.asarray(identifier_params["dense1"]["kernel"]).T,
+            "bias": np_rng.uniform(0.0, 1.0, (self.flat_dim,)).astype(np.float32),
         }}
         state: dict = {}
         for op in self.ops:
@@ -81,12 +90,12 @@ class FaceReconstructionModel:
             _, in_c, out_c, _k, _s, _bn = self.layout[idx]
             # BN clone normalizes the deconv INPUT (conv output side = out_c).
             params[f"rbnorm_{idx}"] = {
-                "gamma": jnp.ones((out_c,), jnp.float32),
-                "beta": jnp.zeros((out_c,), jnp.float32),
+                "gamma": np.ones((out_c,), np.float32),
+                "beta": np.zeros((out_c,), np.float32),
             }
             state[f"rbnorm_{idx}"] = {
-                "mean": jnp.zeros((out_c,), jnp.float32),
-                "var": jnp.ones((out_c,), jnp.float32),
+                "mean": np.zeros((out_c,), np.float32),
+                "var": np.ones((out_c,), np.float32),
             }
         return params, state
 

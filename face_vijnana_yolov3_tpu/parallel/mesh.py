@@ -40,9 +40,19 @@ def init_distributed(
     ICI within a slice and DCN across slices. (The reference has no multi-node
     capability at all — SURVEY §2 P3.)
     """
+    import os
+
     import jax
 
-    if num_processes is None and "JAX_NUM_PROCESSES" not in __import__("os").environ:
+    # Single-process no-op ONLY when nothing multi-host was requested at all:
+    # an explicit coordinator_address/process_id (or the standard cluster env)
+    # must reach jax.distributed.initialize even with num_processes left to
+    # its own cluster-env discovery — silently skipping would run each host
+    # as an independent single-host job.
+    explicit = any(
+        v is not None for v in (coordinator_address, num_processes, process_id)
+    )
+    if not explicit and "JAX_NUM_PROCESSES" not in os.environ:
         return  # single-process
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

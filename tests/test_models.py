@@ -233,6 +233,34 @@ def test_remat_matches_plain_forward_and_grad():
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_remat_updates_bn_state_for_all_segments():
+    """Regression: the remat path used to merge each segment's returned state
+    wholesale — every segment's state contains stale pass-through copies of the
+    other segments' bnorm keys, so later segments overwrote earlier segments'
+    moving-stat updates with the original values."""
+    ops = darknet.trunk_graph()[:8] + [("output", "trunk")]
+    params, state = darknet.init_graph_params(ops, jax.random.PRNGKey(5))
+    x = jnp.asarray(
+        np.random.default_rng(6).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    )
+    _, st_plain = darknet.apply_graph(params, state, x, ops, train=True,
+                                      remat=False)
+    _, st_remat = darknet.apply_graph(params, state, x, ops, train=True,
+                                      remat=True)
+    assert set(st_plain) == set(st_remat)
+    for key in st_plain:
+        for field in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(st_remat[key][field]),
+                np.asarray(st_plain[key][field]),
+                atol=1e-5, rtol=1e-4, err_msg=f"{key}.{field}",
+            )
+        # And the stats actually moved off the init values for every layer.
+        assert not np.allclose(
+            np.asarray(st_remat[key]["mean"]), np.asarray(state[key]["mean"])
+        ), f"{key} moving mean never updated"
+
+
 def test_remat_segments_structure():
     segs = darknet.remat_segments(darknet.trunk_graph())
     # 23 residual blocks → 23 add-terminated segments + the trailing output seg.

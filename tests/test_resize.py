@@ -125,6 +125,41 @@ def test_detect_batch_fused_uint8_and_uniform_geometry():
     assert c_mix.shape == c_u8.shape and n_mix.shape == n_u8.shape
 
 
+def test_detect_batch_fused_bucketing_reuses_programs():
+    """Staging dims bucket to multiples of 128 and the batch pads to
+    pad_batch_to: near-miss shapes share one compiled program, and the pad
+    rows/areas don't change results (regression for per-chunk recompiles on
+    mixed-resolution test sets)."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_geometry
+
+    conf = FdConf(weights_path="missing.weights")
+    conf.nn_arch.image_size = 64
+    conf.hps.face_conf_th = 0.05
+    fd = FaceDetectorPipeline(conf)
+
+    rng = np.random.default_rng(6)
+    img = rng.uniform(0, 255, (100, 140, 3)).astype(np.uint8)
+
+    staged_a = img[None]
+    geoms = [letterbox_geometry(100, 140, 64)]
+    c_a, n_a = fd.detect_batch_fused(staged_a, geoms, pad_batch_to=4)
+    assert c_a.shape[0] == 1 and n_a.shape[0] == 1
+
+    # Same image staged into a slightly different buffer + a remainder batch:
+    # both bucket to the same (4,128,256) program — no second compile key.
+    staged_b = np.zeros((2, 110, 150, 3), np.uint8)
+    staged_b[0, :100, :140] = img
+    staged_b[1, :100, :140] = img
+    c_b, n_b = fd.detect_batch_fused(staged_b, geoms * 2, pad_batch_to=4)
+    assert c_b.shape[0] == 2
+    assert len(fd._fused_cache) == 1
+    np.testing.assert_array_equal(n_b, [n_a[0]] * 2)
+    np.testing.assert_allclose(c_b[0], c_a[0], atol=1e-3)
+    np.testing.assert_allclose(c_b[1], c_a[0], atol=1e-3)
+
+
 @pytest.mark.parametrize("h,w", [(300, 500), (500, 300), (120, 97)])
 def test_matmul_letterbox_matches_host(h, w):
     from face_vijnana_yolov3_tpu.ops.resize import (
