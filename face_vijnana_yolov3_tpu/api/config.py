@@ -56,6 +56,12 @@ class FdConf:
     # aspect-ratio correction with RATIO_TH=face_region_ratio_th
     # (docker/code/face_detection.py:415-422) that src/space comments out.
     apply_face_region_ratio: bool = False
+    # Framework extensions (no reference counterpart; defaults = reference
+    # behavior): periodic Orbax checkpointing for kill-resume, and host-RAM
+    # caching of assembled training samples (multi-epoch runs on a weak host
+    # are otherwise JPEG-decode bound).
+    checkpoint_every: int = 0
+    dataset_cache: str = "none"
     hps: FdHps = dataclasses.field(default_factory=FdHps)
     nn_arch: FdNNArch = dataclasses.field(default_factory=FdNNArch)
 

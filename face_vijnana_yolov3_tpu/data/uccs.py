@@ -103,7 +103,12 @@ class DetectionDataset:
     """
 
     def __init__(self, raw_data_path: str, image_size: int = 416, grid: int = 13,
-                 channels: int = 6, csv_name: str = "training.csv"):
+                 channels: int = 6, csv_name: str = "training.csv",
+                 cache: str = "none"):
+        """cache: "none" re-decodes every epoch (reference Sequence behavior);
+        "samples" keeps each letterboxed image + GT tensor in host RAM after
+        first assembly (bit-exact reuse — multi-epoch training on a 1-core
+        host is otherwise JPEG-decode bound; ~2 MB/image at 416²)."""
         self.raw_data_path = raw_data_path
         self.image_size = image_size
         self.grid = grid
@@ -111,6 +116,11 @@ class DetectionDataset:
         self.gt_df = load_gt_frame(os.path.join(raw_data_path, csv_name))
         self.groups = group_by_file(self.gt_df)
         self.file_names = list(self.groups.groups.keys())
+        if cache not in ("none", "samples"):
+            raise ValueError(f"unknown cache mode {cache!r}")
+        self._sample_cache: dict[int, tuple] | None = (
+            {} if cache == "samples" else None
+        )
 
     def __len__(self) -> int:
         return len(self.file_names)
@@ -124,12 +134,16 @@ class DetectionDataset:
         from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_host
         from face_vijnana_yolov3_tpu.utils.io import imread
 
+        if self._sample_cache is not None and index in self._sample_cache:
+            return self._sample_cache[index]
         file_name = self.file_names[index]
         df = self.groups.get_group(file_name)
         df = df.reset_index(drop=True)
         image = imread(os.path.join(self.raw_data_path, file_name)) / 255
         lb, geom = letterbox_host(image, self.image_size, "cubic")
         gt = build_gt_tensor(df, geom, self.grid, self.channels)
+        if self._sample_cache is not None:
+            self._sample_cache[index] = (lb, gt)
         return lb, gt
 
     def batch(self, index: int, batch_size: int):

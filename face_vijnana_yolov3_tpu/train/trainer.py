@@ -19,24 +19,27 @@ from face_vijnana_yolov3_tpu.parallel import mesh as mesh_lib
 from face_vijnana_yolov3_tpu.train.optimizer import keras_adam, coerce_adam_state
 
 
-def _pad_batch(images: np.ndarray, gts: np.ndarray, batch_size: int, n_dev: int):
+def _pad_batch(arrays: tuple, batch_size: int, n_dev: int):
     """Pad a remainder batch up to a shardable size with zero-weight rows.
 
     The reference feeds the true remainder (its towers just get fewer rows);
     SPMD needs the batch divisible by the data axis. Padding rows replicate row 0
-    and a weight vector marks them so the loss ignores them.
+    and a weight vector marks them so the loss ignores them. Takes a tuple of
+    batch-leading arrays (images+gts, triplet a/p/n, ...); returns
+    (*padded_arrays, weights).
     """
-    n = images.shape[0]
+    n = arrays[0].shape[0]
     target = max(batch_size, n_dev)
     if target % n_dev:
         target += n_dev - target % n_dev
     if n == target:
-        return images, gts, np.ones(n, np.float32)
+        return (*arrays, np.ones(n, np.float32))
     pad = target - n
-    images = np.concatenate([images, np.repeat(images[:1], pad, axis=0)])
-    gts = np.concatenate([gts, np.repeat(gts[:1], pad, axis=0)])
+    padded = tuple(
+        np.concatenate([x, np.repeat(x[:1], pad, axis=0)]) for x in arrays
+    )
     weights = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
-    return images, gts, weights
+    return (*padded, weights)
 
 
 def train_detector(
@@ -53,8 +56,15 @@ def train_detector(
     history_path: str | None = None,
     finalize_bn: bool = True,
     compute_dtype=None,
+    checkpoint_every: int = 0,
 ):
     """Train the face detector; returns (params, state, losses).
+
+    checkpoint_every: save an Orbax checkpoint (params + BN state + optimizer
+    state) every N epochs in addition to the end-of-training save, so a killed
+    run resumes from the last interval via model_loading instead of restarting
+    (the reference only saves at the end — SURVEY §5 checkpoint/resume).
+    0 = end-of-training only (reference behavior).
 
     hps: lr/beta_1/beta_2/decay/epochs/batch_size (reference hps schema). Writes
     hps['step'] back like the reference's Sequence does.
@@ -118,8 +128,7 @@ def train_detector(
         t0 = time.time()
 
         def make_batch(i):
-            images, gts = dataset.batch(i, batch_size)
-            return _pad_batch(images, gts, batch_size, n_dev)
+            return _pad_batch(dataset.batch(i, batch_size), batch_size, n_dev)
 
         for bi, (images, gts, weights) in enumerate(
             prefetch_batches(make_batch, steps)
@@ -133,6 +142,16 @@ def train_detector(
                 f"epoch {epoch + 1}/{hps['epochs']}  "
                 f"loss {float(losses[-1]):.6f}  {time.time() - t0:.1f}s"
             )
+        if (checkpoint_every and checkpoint_path
+                and (epoch + 1) % checkpoint_every == 0
+                and (epoch + 1) < int(hps["epochs"])):
+            from face_vijnana_yolov3_tpu.core.checkpoints import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_path,
+                {"params": params, "state": state, "opt_state": opt_state},
+            )
+            _write_history(history_path, [float(l) for l in losses])
 
     losses = [float(l) for l in losses]
     _write_history(history_path, losses)
@@ -269,20 +288,9 @@ def train_identifier(
     for epoch in range(int(hps["epochs"])):
 
         def make_batch(i):
-            a, p, n = triplet_dataset.batch(i, batch_size)
-            nb = a.shape[0]
-            target = max(batch_size, n_dev)
-            if target % n_dev:
-                target += n_dev - target % n_dev
-            if nb < target:
-                pad = target - nb
-                a = np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
-                p = np.concatenate([p, np.repeat(p[:1], pad, axis=0)])
-                n = np.concatenate([n, np.repeat(n[:1], pad, axis=0)])
-                w = np.concatenate([np.ones(nb, np.float32), np.zeros(pad, np.float32)])
-            else:
-                w = np.ones(nb, np.float32)
-            return a, p, n, w
+            return _pad_batch(
+                triplet_dataset.batch(i, batch_size), batch_size, n_dev
+            )
 
         for a, p, n, w in prefetch_batches(make_batch, steps):
             params, state, opt_state, loss = jit_step(

@@ -90,6 +90,13 @@ def main():
     conf.hps.epochs = epochs
     conf.hps.batch_size = 16
     conf.hps.face_conf_th = 0.5
+    conf.checkpoint_every = 10       # kill-resume for long runs
+    conf.dataset_cache = "samples"   # 1-core host: don't re-decode per epoch
+    from face_vijnana_yolov3_tpu.core.checkpoints import checkpoint_exists
+
+    if checkpoint_exists(conf.model_path):
+        print("resuming from", conf.model_path)
+        conf.model_loading = True
 
     fd = FaceDetectorPipeline(conf, precision=precision)
     losses = fd.train()

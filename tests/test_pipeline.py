@@ -45,6 +45,40 @@ def test_config_overrides():
         apply_overrides(conf, ["fd_conf.nope=1"])
 
 
+def test_cli_set_flag_forms():
+    """--set works in every shell form: two tokens, --set=k=v, quoted token."""
+    from face_vijnana_yolov3_tpu.api.face_detection import _parse_cli
+
+    for argv in (
+        ["--set", "fd_conf.mode=test"],          # natural two-token shell form
+        ["--set=fd_conf.mode=test"],
+        ["--set fd_conf.mode=test"],             # single quoted token
+        ["fd_conf.mode=test"],                   # bare override
+    ):
+        conf_path, overrides = _parse_cli(["--conf=c.json"] + argv)
+        assert conf_path == "c.json"
+        assert overrides == ["fd_conf.mode=test"], argv
+    with pytest.raises(SystemExit):
+        _parse_cli(["--set"])
+
+
+def test_prefetch_batches_propagates_worker_errors():
+    """Regression: a failing make_batch used to look like normal end-of-data —
+    truncated solution CSVs / silently shortened epochs."""
+    from face_vijnana_yolov3_tpu.data.pipeline import prefetch_batches
+
+    def make_batch(i):
+        if i == 2:
+            raise ValueError("corrupt image")
+        return (np.zeros(3),)
+
+    got = []
+    with pytest.raises(ValueError, match="corrupt image"):
+        for b in prefetch_batches(make_batch, 5, device_put=False):
+            got.append(b)
+    assert len(got) == 2  # the two good batches arrived first
+
+
 # ------------------------------------------------------------------ GT tensor
 
 def test_gt_tensor_handcrafted_square():
@@ -240,6 +274,35 @@ def test_detection_dataset_batches(tmp_path):
     assert imgs.shape == (1, 416, 416, 3)
     assert gts.shape == (1, 13, 13, 6)
     assert gts.sum() > 0
+
+
+def test_detection_dataset_sample_cache(tmp_path):
+    """cache='samples' returns bit-identical batches without re-decoding."""
+    from face_vijnana_yolov3_tpu.utils.io import imsave
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(3):
+        imsave(str(tmp_path / f"f{i}.jpg"),
+               rng.uniform(0, 255, (60, 80, 3)).astype(np.uint8))
+        rows.append({"FACE_ID": i, "FILE": f"f{i}.jpg", "SUBJECT_ID": 1,
+                     "FACE_X": 5, "FACE_Y": 5, "FACE_WIDTH": 20,
+                     "FACE_HEIGHT": 20})
+    pd.DataFrame(rows).to_csv(tmp_path / "training.csv", index=False)
+
+    plain = DetectionDataset(str(tmp_path), image_size=64, grid=2)
+    cached = DetectionDataset(str(tmp_path), image_size=64, grid=2,
+                              cache="samples")
+    im0, gt0 = plain.batch(0, 3)
+    im1, gt1 = cached.batch(0, 3)
+    im2, gt2 = cached.batch(0, 3)  # second epoch: served from cache
+    np.testing.assert_array_equal(im0, im1)
+    np.testing.assert_array_equal(gt0, gt1)
+    np.testing.assert_array_equal(im1, im2)
+    np.testing.assert_array_equal(gt1, gt2)
+    assert len(cached._sample_cache) == 3
+    with pytest.raises(ValueError):
+        DetectionDataset(str(tmp_path), cache="bogus")
 
 
 def test_boundbox_compat_record():

@@ -87,6 +87,34 @@ def test_train_detector_spmd_loss_decreases():
     assert np.isfinite(losses).all()
 
 
+def test_train_detector_periodic_checkpointing(tmp_path):
+    """checkpoint_every saves resumable mid-run checkpoints (params + BN state
+    + optimizer state), so a killed long run restarts from the last interval."""
+    from face_vijnana_yolov3_tpu.core.checkpoints import load_checkpoint
+    from face_vijnana_yolov3_tpu.train.trainer import train_detector
+
+    model = FaceDetectorModel(image_size=32)
+    params, state = model.init(jax.random.PRNGKey(0))
+    dataset = _FakeDetectionDataset(n=8, image_size=32)
+    hps = {
+        "lr": 1e-3, "beta_1": 0.9, "beta_2": 0.999, "decay": 0.0,
+        "epochs": 3, "batch_size": 8, "step": 1,
+    }
+    ckpt = str(tmp_path / "ckpt")
+    params, state, _ = train_detector(
+        model, params, state, dataset, hps, mesh=mesh_lib.make_mesh(8),
+        log_every=0, finalize_bn=False, checkpoint_path=ckpt,
+        checkpoint_every=2, history_path=str(tmp_path / "h.jsonl"),
+    )
+    saved = load_checkpoint(ckpt)
+    assert set(saved) == {"params", "state", "opt_state"}
+    # Final save overwrites the epoch-2 one; params match end-of-training.
+    np.testing.assert_array_equal(
+        np.asarray(saved["params"]["head"]["kernel"]),
+        np.asarray(params["head"]["kernel"]),
+    )
+
+
 def test_train_detector_bf16_mixed_precision_learns():
     """compute_dtype=bfloat16: bf16 fwd/bwd with f32 master params — loss must
     still descend and params must remain f32 (mixed precision, not bf16 opt)."""
@@ -114,10 +142,13 @@ def test_train_detector_remainder_batch_padding():
 
     images = np.ones((5, 8, 8, 3), np.float32)
     gts = np.ones((5, 1, 1, 6), np.float32)
-    im2, gt2, w = _pad_batch(images, gts, batch_size=8, n_dev=8)
+    im2, gt2, w = _pad_batch((images, gts), batch_size=8, n_dev=8)
     assert im2.shape[0] == 8 and w.sum() == 5
-    im3, gt3, w3 = _pad_batch(images, gts, batch_size=5, n_dev=4)
+    im3, gt3, w3 = _pad_batch((images, gts), batch_size=5, n_dev=4)
     assert im3.shape[0] == 8 and w3.sum() == 5
+    # Triplet form: any number of batch-leading arrays.
+    a, p, n, w4 = _pad_batch((images, images, images), batch_size=8, n_dev=8)
+    assert a.shape[0] == p.shape[0] == n.shape[0] == 8 and w4.sum() == 5
 
 
 def test_checkpoint_roundtrip(tmp_path):
