@@ -208,6 +208,9 @@ class FaceIdentifierPipeline:
             ),
         )
         self._embed_cache.clear()
+        # Stale int8 calibration would otherwise keep serving pre-training
+        # quantized weights; next embed() re-folds + re-calibrates.
+        self._q_embed = None
         print("Save the model.")
         return losses
 
