@@ -176,7 +176,10 @@ def test_embed_bucketing(tmp_path):
     np.testing.assert_allclose(e3, e4[:3], atol=2e-5, rtol=1e-4)
 
 
-def test_identifier_training_smoke(tmp_path, monkeypatch):
+@pytest.mark.parametrize("precision", ["float32", "bfloat16"])
+def test_identifier_training_smoke(tmp_path, monkeypatch, precision):
+    """Both precisions: f32 strict and bf16 mixed (which also exercises the
+    bf16 host->device batch upload cast in train_identifier)."""
     from face_vijnana_yolov3_tpu.api.face_identification import (
         FaceIdentifierPipeline,
     )
@@ -189,7 +192,7 @@ def test_identifier_training_smoke(tmp_path, monkeypatch):
     conf.fi_conf.hps.epochs = 1
     conf.fi_conf.hps.batch_size = 2
     conf.fi_conf.model_path = str(tmp_path / "fi_ckpt")
-    fi = FaceIdentifierPipeline(conf)
+    fi = FaceIdentifierPipeline(conf, precision=precision)
     losses = fi.train()
     assert np.isfinite(losses).all()
     assert fi.hps["step"] == 1
