@@ -84,6 +84,13 @@ def batch_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def stacked_batch_sharded(mesh: Mesh) -> NamedSharding:
+    """(steps, batch, ...) arrays: batch dim sharded, steps dim whole — the
+    layout of a device-resident training set consumed by a lax.scan over
+    steps (train.trainer device_data path)."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def shard_identifier_params(mesh: Mesh, params: Any) -> Any:
     """Sharding tree for identifier params: dense1 kernel split over 'model'
     (input dim — the 173056-wide flatten axis), everything else replicated."""

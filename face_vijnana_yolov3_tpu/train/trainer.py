@@ -9,6 +9,7 @@ and the Keras multi-GPU wrapper replaced by the SPMD mesh step.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -58,8 +59,19 @@ def train_detector(
     finalize_bn: bool = True,
     compute_dtype=None,
     checkpoint_every: int = 0,
+    device_data: bool | None = None,
 ):
     """Train the face detector; returns (params, state, losses).
+
+    device_data: keep the WHOLE training set resident in device HBM, stacked
+    (steps, batch, ...), and run each epoch as ONE jitted lax.scan over steps —
+    zero per-step host->device traffic and one dispatch per epoch instead of
+    per step. Numerically identical to the streaming path (same batch order,
+    same update). None (default) auto-enables when the stacked set fits the
+    FVY_DEVICE_DATA_BUDGET (bytes, default 4e9). The streaming path remains
+    for datasets that don't fit. Besides speed, this sidesteps a host-memory
+    leak in the tunneled axon TPU client (~batch bytes leak per h2d transfer,
+    scripts/probe_h2d_leak.py) that OOMs multi-thousand-step streaming runs.
 
     checkpoint_every: save an Orbax checkpoint (params + BN state + optimizer
     state) every N epochs in addition to the end-of-training save, so a killed
@@ -113,40 +125,82 @@ def train_detector(
         new_params = jax.tree.map(lambda p, u: p + u, params, updates)
         return new_params, new_state, new_opt_state, loss
 
-    jit_step = jax.jit(
-        step_fn,
-        in_shardings=(repl, repl, repl, data, data, data),
-        out_shardings=(repl, repl, repl, repl),
-        donate_argnums=(0, 1, 2),
-    )
+    def make_batch(i):
+        images, gts, weights = _pad_batch(
+            dataset.batch(i, batch_size), batch_size, n_dev
+        )
+        # Mixed-precision: upload images as bf16 — the forward casts them
+        # to compute_dtype anyway, so this is numerically identical and
+        # halves the host->device batch bytes (an upload-bound step over a
+        # tunneled chip is ~2x faster; GTs/weights stay f32 for the loss).
+        if dtype == jax.numpy.bfloat16:
+            images = images.astype(ml_dtypes.bfloat16)
+        return images, gts, weights
+
+    if device_data is None:
+        im0, gt0, _ = make_batch(0)
+        budget = float(os.environ.get("FVY_DEVICE_DATA_BUDGET", 4e9))
+        device_data = steps * (im0.nbytes + gt0.nbytes) <= budget
 
     params = jax.device_put(params, repl)
     state = jax.device_put(state, repl)
     opt_state = jax.device_put(opt_state, repl)
 
     losses = []
+    if device_data:
+        # (steps, batch, ...) stacked set, batch dim sharded over 'data';
+        # lax.scan slices the leading dim per step entirely on device.
+        stacked = [make_batch(i) for i in range(steps)]
+        data_stacked = mesh_lib.stacked_batch_sharded(mesh)
+        imgs_d = jax.device_put(np.stack([s[0] for s in stacked]), data_stacked)
+        gts_d = jax.device_put(np.stack([s[1] for s in stacked]), data_stacked)
+        ws_d = jax.device_put(np.stack([s[2] for s in stacked]), data_stacked)
+        del stacked
+
+        def epoch_fn(params, state, opt_state, imgs, gts, ws):
+            def body(carry, xs):
+                params, state, opt_state = carry
+                images, gts_b, w = xs
+                params, state, opt_state, loss = step_fn(
+                    params, state, opt_state, images, gts_b, w
+                )
+                return (params, state, opt_state), loss
+
+            (params, state, opt_state), ep_losses = jax.lax.scan(
+                body, (params, state, opt_state), (imgs, gts, ws)
+            )
+            return params, state, opt_state, ep_losses
+
+        jit_epoch = jax.jit(
+            epoch_fn,
+            in_shardings=(repl, repl, repl, data_stacked, data_stacked,
+                          data_stacked),
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(0, 1, 2),
+        )
+    else:
+        jit_step = jax.jit(
+            step_fn,
+            in_shardings=(repl, repl, repl, data, data, data),
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(0, 1, 2),
+        )
+
     for epoch in range(int(hps["epochs"])):
         t0 = time.time()
-
-        def make_batch(i):
-            images, gts, weights = _pad_batch(
-                dataset.batch(i, batch_size), batch_size, n_dev
+        if device_data:
+            params, state, opt_state, ep_losses = jit_epoch(
+                params, state, opt_state, imgs_d, gts_d, ws_d
             )
-            # Mixed-precision: upload images as bf16 — the forward casts them
-            # to compute_dtype anyway, so this is numerically identical and
-            # halves the host->device batch bytes (an upload-bound step over a
-            # tunneled chip is ~2x faster; GTs/weights stay f32 for the loss).
-            if dtype == jax.numpy.bfloat16:
-                images = images.astype(ml_dtypes.bfloat16)
-            return images, gts, weights
-
-        for bi, (images, gts, weights) in enumerate(
-            prefetch_batches(make_batch, steps)
-        ):
-            params, state, opt_state, loss = jit_step(
-                params, state, opt_state, images, gts, weights
-            )
-            losses.append(loss)
+            losses.extend(np.asarray(ep_losses))
+        else:
+            for bi, (images, gts, weights) in enumerate(
+                prefetch_batches(make_batch, steps)
+            ):
+                params, state, opt_state, loss = jit_step(
+                    params, state, opt_state, images, gts, weights
+                )
+                losses.append(loss)
         if log_every and (epoch % log_every == 0):
             print(
                 f"epoch {epoch + 1}/{hps['epochs']}  "

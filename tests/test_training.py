@@ -87,6 +87,45 @@ def test_train_detector_spmd_loss_decreases():
     assert np.isfinite(losses).all()
 
 
+def test_train_detector_device_data_matches_streaming():
+    """device_data (stacked device-resident set + per-epoch lax.scan) must
+    produce the same losses and params as the streaming per-step path."""
+    from face_vijnana_yolov3_tpu.train.trainer import train_detector
+
+    mesh = mesh_lib.make_mesh(8)
+    results = {}
+    for mode in (False, True):
+        model = FaceDetectorModel(image_size=32)
+        params, state = model.init(jax.random.PRNGKey(0))
+        dataset = _FakeDetectionDataset(n=12, image_size=32)  # remainder step
+        hps = {
+            "lr": 1e-3, "beta_1": 0.9, "beta_2": 0.999, "decay": 0.0,
+            "epochs": 2, "batch_size": 8, "step": 1,
+        }
+        params, state, losses = train_detector(
+            model, params, state, dataset, hps, mesh=mesh, log_every=0,
+            finalize_bn=False, device_data=mode,
+        )
+        results[mode] = (params, losses)
+    np.testing.assert_allclose(results[True][1], results[False][1],
+                               rtol=1e-5, atol=1e-6)
+    # Params: the scanned epoch and the standalone step are different XLA
+    # programs — conv reductions reassociate, so exact bits differ, and Adam
+    # (sign-normalizing) amplifies those last-ulp gradient diffs into up to
+    # ~lr-sized drift on a handful of elements. The math is identical (same
+    # batches, same order, same update rule) — losses above match to 1e-5;
+    # here assert the drift stays at numerical-noise scale: every element
+    # within one lr-step, ≥99.9% within tight tolerance.
+    lr = 1e-3
+    for a, b in zip(jax.tree.leaves(results[True][0]),
+                    jax.tree.leaves(results[False][0])):
+        a, b = np.asarray(a), np.asarray(b)
+        diff = np.abs(a - b)
+        assert diff.max() <= lr, f"param drift {diff.max()} exceeds one lr step"
+        tight = diff <= (1e-4 + 2e-3 * np.abs(b))
+        assert tight.mean() >= 0.999, f"only {tight.mean():.4%} within tight tol"
+
+
 def test_train_detector_periodic_checkpointing(tmp_path):
     """checkpoint_every saves resumable mid-run checkpoints (params + BN state
     + optimizer state), so a killed long run restarts from the last interval."""
