@@ -99,6 +99,8 @@ class FiConf:
     model_loading: bool = False
     weights_path: str = "yolov3.weights"
     model_path: str = "face_identifier_tpu"
+    # Framework extension, as in FdConf (0 = reference end-of-training save).
+    checkpoint_every: int = 0
     hps: FiHps = dataclasses.field(default_factory=FiHps)
     nn_arch: FiNNArch = dataclasses.field(default_factory=FiNNArch)
 

@@ -206,6 +206,7 @@ class FaceIdentifierPipeline:
             compute_dtype=(
                 jnp.bfloat16 if self.precision == "bfloat16" else None
             ),
+            checkpoint_every=getattr(self.conf, "checkpoint_every", 0),
         )
         self._embed_cache.clear()
         # Stale int8 calibration would otherwise keep serving pre-training

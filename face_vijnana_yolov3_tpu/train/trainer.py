@@ -290,12 +290,18 @@ def train_identifier(
     history_path: str | None = None,
     finalize_bn: bool = True,
     compute_dtype=None,
+    checkpoint_every: int = 0,
+    device_data: bool | None = None,
 ):
     """Train the triplet embedder; returns (params, state, losses).
 
     compute_dtype: as in train_detector — None/f32 strict, jnp.bfloat16 mixed
     precision (f32 master params, bf16 fwd/bwd), composes with the per-block
     remat the triplet step always uses.
+
+    checkpoint_every / device_data: as in train_detector (device_data stacks
+    the a/p/n crop arrays in HBM and scans epochs; auto-on under
+    FVY_DEVICE_DATA_BUDGET — triplet sets are 3x image bytes).
     """
     if mesh is None:
         mesh = mesh_lib.make_mesh()
@@ -337,36 +343,85 @@ def train_identifier(
         new_params = jax.tree.map(lambda x, u: x + u, params, updates)
         return new_params, new_state, new_opt_state, loss
 
-    jit_step = jax.jit(
-        step_fn,
-        in_shardings=(repl, repl, repl, data, data, data, data),
-        out_shardings=(repl, repl, repl, repl),
-        donate_argnums=(0, 1, 2),
-    )
+    def make_batch(i):
+        a, p, n, w = _pad_batch(
+            triplet_dataset.batch(i, batch_size), batch_size, n_dev
+        )
+        if dtype == jax.numpy.bfloat16:
+            # See train_detector: bf16 upload is transparent to the bf16
+            # forward and halves the (3x-stacked) host->device bytes.
+            a, p, n = (x.astype(ml_dtypes.bfloat16) for x in (a, p, n))
+        return a, p, n, w
+
+    if device_data is None:
+        b0 = make_batch(0)
+        budget = float(os.environ.get("FVY_DEVICE_DATA_BUDGET", 4e9))
+        device_data = steps * sum(x.nbytes for x in b0) <= budget
 
     params = jax.device_put(params, repl)
     state = jax.device_put(state, repl)
     opt_state = jax.device_put(opt_state, repl)
 
     losses = []
+    if device_data:
+        stacked = [make_batch(i) for i in range(steps)]
+        data_stacked = mesh_lib.stacked_batch_sharded(mesh)
+        dev = tuple(
+            jax.device_put(np.stack([s[j] for s in stacked]), data_stacked)
+            for j in range(4)
+        )
+        del stacked
+
+        def epoch_fn(params, state, opt_state, a, p, n, w):
+            def body(carry, xs):
+                params, state, opt_state = carry
+                params, state, opt_state, loss = step_fn(
+                    params, state, opt_state, *xs
+                )
+                return (params, state, opt_state), loss
+
+            (params, state, opt_state), ep_losses = jax.lax.scan(
+                body, (params, state, opt_state), (a, p, n, w)
+            )
+            return params, state, opt_state, ep_losses
+
+        jit_epoch = jax.jit(
+            epoch_fn,
+            in_shardings=(repl, repl, repl) + (data_stacked,) * 4,
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(0, 1, 2),
+        )
+    else:
+        jit_step = jax.jit(
+            step_fn,
+            in_shardings=(repl, repl, repl, data, data, data, data),
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(0, 1, 2),
+        )
+
     for epoch in range(int(hps["epochs"])):
-
-        def make_batch(i):
-            a, p, n, w = _pad_batch(
-                triplet_dataset.batch(i, batch_size), batch_size, n_dev
+        if device_data:
+            params, state, opt_state, ep_losses = jit_epoch(
+                params, state, opt_state, *dev
             )
-            if dtype == jax.numpy.bfloat16:
-                # See train_detector: bf16 upload is transparent to the bf16
-                # forward and halves the (3x-stacked) host->device bytes.
-                a, p, n = (x.astype(ml_dtypes.bfloat16) for x in (a, p, n))
-            return a, p, n, w
-
-        for a, p, n, w in prefetch_batches(make_batch, steps):
-            params, state, opt_state, loss = jit_step(
-                params, state, opt_state, a, p, n, w
-            )
-            losses.append(loss)
+            losses.extend(np.asarray(ep_losses))
+        else:
+            for a, p, n, w in prefetch_batches(make_batch, steps):
+                params, state, opt_state, loss = jit_step(
+                    params, state, opt_state, a, p, n, w
+                )
+                losses.append(loss)
         print(f"identifier epoch {epoch + 1}: loss {float(losses[-1]):.6f}")
+        if (checkpoint_every and checkpoint_path
+                and (epoch + 1) % checkpoint_every == 0
+                and (epoch + 1) < int(hps["epochs"])):
+            from face_vijnana_yolov3_tpu.core.checkpoints import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_path,
+                {"params": params, "state": state, "opt_state": opt_state},
+            )
+            _write_history(history_path, [float(l) for l in losses])
 
     losses = [float(l) for l in losses]
     _write_history(history_path, losses)
