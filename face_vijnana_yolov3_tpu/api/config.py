@@ -62,6 +62,13 @@ class FdConf:
     # are otherwise JPEG-decode bound).
     checkpoint_every: int = 0
     dataset_cache: str = "none"
+    # int8 activation calibration: percentile of |activation| to clip each
+    # graph position's range to; 0 = exact maxabs. Default 99.99 — trained
+    # checkpoints develop residual-stream outliers (maxabs ~90) that stretch
+    # the int8 grid and collapse AP under maxabs (AP50 0.80→0.21), while
+    # heavier clipping (99.9) destroys real range and collapses it again;
+    # 99.99 restores AP50 parity (scripts/probe_precision_ap.py).
+    int8_calib_percentile: float = 99.99
     hps: FdHps = dataclasses.field(default_factory=FdHps)
     nn_arch: FdNNArch = dataclasses.field(default_factory=FdNNArch)
 
@@ -99,8 +106,9 @@ class FiConf:
     model_loading: bool = False
     weights_path: str = "yolov3.weights"
     model_path: str = "face_identifier_tpu"
-    # Framework extension, as in FdConf (0 = reference end-of-training save).
+    # Framework extensions, as in FdConf.
     checkpoint_every: int = 0
+    int8_calib_percentile: float = 99.99
     hps: FiHps = dataclasses.field(default_factory=FiHps)
     nn_arch: FiNNArch = dataclasses.field(default_factory=FiNNArch)
 

@@ -107,17 +107,30 @@ class FaceDetectorPipeline:
 
     # -------------------------------------------------------------- detect
 
-    def calibrate_int8(self, images: np.ndarray):
+    def calibrate_int8(self, images: np.ndarray,
+                       percentile: float | None = None):
         """Calibrate the int8 serving path on a representative batch.
 
         `images` is a (N,S,S,3) float letterboxed batch (8-16 images suffice).
         Folds conv+BN, quantizes weights per-channel, and records per-position
         activation scales (models/quant.py). detect_batch auto-calibrates on
         its first batch when precision == "int8" and this was never called.
+
+        percentile: activation-range clipping (models/quant.calibrate_folded).
+        None reads conf.int8_calib_percentile (0/absent = exact maxabs).
+        Trained-from-scratch checkpoints develop late-trunk activation
+        outliers (maxabs ~90) that stretch the int8 grid — maxabs calibration
+        collapsed AP50 0.80→0.21 on such a model while 99.9-percentile
+        clipping restores parity (scripts/probe_precision_ap.py).
         """
+        if percentile is None:
+            percentile = getattr(self.conf, "int8_calib_percentile", 0.0) or None
         folded = self.model.fold(self.params, self.state)
         self._qparams = jax.device_put(
-            self.model.quantize(folded, jnp.asarray(images[:16], jnp.float32))
+            self.model.quantize(
+                folded, jnp.asarray(images[:16], jnp.float32),
+                percentile=percentile,
+            )
         )
         self._invalidate_jits()
 

@@ -140,8 +140,12 @@ class FaceIdentifierPipeline:
         auto-calibrates the quantized trunk on the first batch."""
         if self.precision == "int8" and getattr(self, "_q_embed", None) is None:
             folded = self.model.fold(self.params, self.state)
+            pct = getattr(self.conf, "int8_calib_percentile", 0.0) or None
             self._q_embed = jax.device_put(
-                self.model.quantize(folded, jnp.asarray(images[:16], jnp.float32))
+                self.model.quantize(
+                    folded, jnp.asarray(images[:16], jnp.float32),
+                    percentile=pct,
+                )
             )
         n = images.shape[0]
         bucket = next((b for b in _EMBED_BUCKETS if b >= n), None)

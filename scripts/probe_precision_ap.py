@@ -1,0 +1,59 @@
+"""AP parity across serving precisions on a trained checkpoint.
+
+Loads a trained detector checkpoint, runs the full evaluate mode (fused
+letterbox+detect+NMS -> solution_fd.csv) at float32 / bfloat16 / int8-PTQ,
+and scores each against held-out GT with the real mAP harness — the
+end-to-end accuracy evidence for the quantized serving paths.
+
+Usage: python scripts/probe_precision_ap.py <workdir-with-valset-and-ckpt>
+(defaults to the synthetic_e2e layout: <workdir>/valset + <workdir>/fd_ckpt)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fvy_synth_big"
+
+    from face_vijnana_yolov3_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.evals.detection import map_sweep
+
+    valdir = os.path.join(workdir, "valset")
+    for precision, pct in (("float32", 0.0), ("bfloat16", 0.0),
+                           ("int8", 0.0), ("int8", 99.99), ("int8", 99.9),
+                           ("int8", 99.5)):
+        tag = precision if not pct else f"{precision}-p{pct}"
+        sol = os.path.join(workdir, f"solution_fd_{tag}.csv")
+        conf = FdConf(
+            test_path=valdir,
+            output_file_path=sol,
+            weights_path="missing.weights",
+            model_path=os.path.join(workdir, "fd_ckpt"),
+            model_loading=True,
+        )
+        conf.hps.face_conf_th = 0.5
+        conf.int8_calib_percentile = pct
+        fd = FaceDetectorPipeline(conf, precision=precision)
+        fd.test()  # CSV only, no drawing
+        if os.path.getsize(sol) == 0:
+            print(f"{tag:14s}: NO DETECTIONS (empty solution)", flush=True)
+            continue
+        ps, rs, maps = map_sweep(
+            os.path.join(valdir, "validation.csv"), sol, out_h5=None
+        )
+        print(f"{tag:14s}: AP50 {maps[0]:.4f}  mAP {np.mean(maps):.4f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -152,3 +152,33 @@ def test_pipeline_int8_auto_calibration(tmp_path):
     c8, n8 = fd8.detect_batch(x)
     assert fd8._qparams is not None
     assert c8.shape == c32.shape and n8.shape == n32.shape
+
+
+def test_pipeline_int8_calibration_percentile_plumbing(tmp_path):
+    """conf.int8_calib_percentile reaches model.quantize (default 99.99 —
+    maxabs calibration collapsed AP50 0.80→0.21 on a trained checkpoint from
+    residual-stream activation outliers; scripts/probe_precision_ap.py)."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+
+    seen = {}
+    conf = FdConf(weights_path=str(tmp_path / "missing.weights"))
+    conf.nn_arch.image_size = 96
+    assert conf.int8_calib_percentile == 99.99  # robust default
+    fd = FaceDetectorPipeline(conf, precision="int8")
+    orig = fd.model.quantize
+
+    def spy(folded, x_calib, *, percentile=None):
+        seen["percentile"] = percentile
+        return orig(folded, x_calib, percentile=percentile)
+
+    fd.model.quantize = spy
+    x = np.random.default_rng(1).uniform(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    fd.detect_batch(x)
+    assert seen["percentile"] == 99.99
+
+    conf.int8_calib_percentile = 0.0  # maxabs opt-out
+    fd2 = FaceDetectorPipeline(conf, precision="int8")
+    fd2.model.quantize = spy
+    fd2.detect_batch(x)
+    assert seen["percentile"] is None
