@@ -6,20 +6,25 @@ The v5e MXU runs int8 at 2x bf16 peak and int8 activations halve HBM traffic —
 measured 1.3-1.5x per-conv over bf16 on the profile's top shapes
 (scripts/probe_int8.py).
 
-Scheme (standard symmetric PTQ):
-  * weights: per-output-channel int8, scale = maxabs/127 (exactly representable
-    folded conv+BN kernels — fold first, then quantize);
-  * activations: per-tensor static int8, scales calibrated by running the f32
-    folded forward on a calibration batch and recording maxabs after every
-    graph op (so residual adds/concats get their own scales);
-  * conv: int8 x int8 -> int32 accum -> f32 epilogue (dequant * in_scale *
-    w_scale + bias, leaky) -> requantize to the next position's scale. XLA
-    fuses the epilogue + requantize into the conv, so the tensor that hits HBM
-    between layers is int8.
+Scheme (symmetric PTQ, per-channel on BOTH weights and activations):
+  * weights: per-output-channel int8, scale = maxabs/127 (fold conv+BN first,
+    then quantize);
+  * activations: per-CHANNEL static int8 scales at every graph position,
+    calibrated from an f32 folded forward. Per-tensor scales collapse on
+    trained checkpoints: late residual-stream positions carry per-channel
+    ranges spread 40-260x (scripts/probe_int8_collapse.py), so one grid
+    crushes the small channels (AP50 0.80 -> 0.21). The per-channel input
+    scale folds STATICALLY into the consumer's kernel along its input-channel
+    axis (x/s per channel; W*s per input channel) — zero runtime cost, the
+    conv itself is unchanged.
+  * conv: int8 x int8 -> int32 accum -> f32 epilogue (dequant * w_scale[out]
+    + bias, leaky) -> per-channel requantize to the next position's scales.
+    XLA fuses the epilogue + requantize into the conv, so the tensor that
+    hits HBM between layers is int8.
   * the 6-channel head conv stays bf16 (it is 0.02% of FLOPs and feeds the
     postprocess's sigmoid-sensitive logits).
 
-Everything is static: scales are Python floats baked into the jitted program.
+Everything is static: scale vectors are baked into the jitted program.
 """
 
 from __future__ import annotations
@@ -35,30 +40,29 @@ from face_vijnana_yolov3_tpu.models.darknet import LEAKY_ALPHA
 
 def calibrate_folded(
     folded_params, x, ops: list[tuple], *, percentile: float | None = None
-) -> list[float]:
-    """Per-op-position activation scales from an f32 folded forward.
+) -> list[np.ndarray]:
+    """Per-position per-CHANNEL activation scale vectors from an f32 folded
+    forward.
 
-    Returns scales[i] for each position i in `ops` = maxabs(activation after
-    op i) / 127, plus the network input scale prepended: the returned list has
-    len(ops)+1 entries, entry 0 is the input scale.
+    Returns scales[i] of shape (C_i,) for each position i in `ops` — the
+    activation after op i — with the network input's (3,) scales prepended:
+    len(ops)+1 entries, entry 0 is the input.
 
-    percentile: None (default) uses exact maxabs — faithful to what the
-    AP-parity validation ran. A value like 99.9 clips each position's range to
-    that percentile of |activation| instead, which is robust to lone outlier
-    activations (one hot pixel otherwise stretches the int8 grid for the whole
-    tensor). Computed per position via a fixed-size quantile on the flattened
-    |h| (jnp.percentile), still inside the single calibration program.
+    percentile: None (default) uses exact per-channel maxabs. A value like
+    99.99 clips each channel's range to that percentile of |activation| over
+    the batch/spatial samples instead — robust to lone outlier pixels.
 
-    The whole calibration forward is ONE jitted program returning the stacked
-    maxabs vector — per-op host syncs would cost a device round-trip each over
-    a tunneled TPU.
+    The whole calibration forward is ONE jitted program returning a single
+    concatenated vector (per-op host syncs would cost a device round-trip
+    each over a tunneled TPU).
     """
     from face_vijnana_yolov3_tpu.models.darknet import _conv2d
 
     def stat(h):
+        a = jnp.abs(h)
         if percentile is None:
-            return jnp.max(jnp.abs(h))
-        return jnp.percentile(jnp.abs(h).ravel(), percentile)
+            return jnp.max(a, axis=tuple(range(a.ndim - 1)))
+        return jnp.percentile(a.reshape(-1, a.shape[-1]), percentile, axis=0)
 
     def fwd(folded_params, x):
         maxes = [stat(x)]
@@ -87,10 +91,38 @@ def calibrate_folded(
             else:
                 raise ValueError(f"unknown op {op}")
             maxes.append(stat(h))
-        return jnp.stack(maxes)
+        return jnp.concatenate(maxes), [m.shape[0] for m in maxes]
 
-    maxes = np.asarray(jax.jit(fwd)(folded_params, jnp.asarray(x)), np.float64)
-    return list(np.maximum(maxes, 1e-8) / 127.0)
+    jitted = jax.jit(lambda w, x: fwd(w, x)[0])
+    flat = np.asarray(jitted(folded_params, jnp.asarray(x)), np.float64)
+    # Split sizes come from a shape-only walk (no compute).
+    sizes = _position_channels(ops, int(np.asarray(x).shape[-1]))
+    out, off = [], 0
+    for c in sizes:
+        out.append(np.maximum(flat[off : off + c], 1e-8) / 127.0)
+        off += c
+    assert off == flat.size
+    return out
+
+
+def _position_channels(ops: list[tuple], in_c: int) -> list[int]:
+    """Channel count of the activation after each op (input prepended) —
+    mirrors the calibration walk shape-only."""
+    sizes = [in_c]
+    saved: dict[str, int] = {}
+    c = in_c
+    for op in ops:
+        kind = op[0]
+        if kind == "conv":
+            c = op[2]
+        elif kind in ("save", "mark"):
+            saved[op[1]] = c
+        elif kind == "restore":
+            c = saved[op[1]]
+        elif kind == "concat":
+            c = c + saved[op[1]]
+        sizes.append(c)
+    return sizes
 
 
 def quantize_folded(
@@ -99,8 +131,9 @@ def quantize_folded(
     """folded f32 params + calibration batch -> int8 qparams pytree.
 
     qparams:
-      "conv_{i}": {"kernel_q": int8 HWIO, "w_scale": (out,) f32, "bias": f32}
-      "act_scales": list of python floats (len(ops)+1, see calibrate_folded)
+      "conv_{i}": {"kernel_q": int8 HWIO (input scales pre-folded),
+                   "w_scale": (out,) f32, "bias": f32}
+      "act_scales": list of np (C,) vectors (len(ops)+1, see calibrate_folded)
       "head": untouched f32 head conv (kernel/bias) if present
 
     percentile: optional outlier-robust activation calibration
@@ -110,12 +143,21 @@ def quantize_folded(
     # One bulk device->host pull; per-conv np.asarray would be ~150 transfers.
     folded_host = jax.device_get(folded_params)
     qparams: dict[str, Any] = {"act_scales": scales}
-    for op in ops:
+    cur = 0  # scales index of the running activation (= conv input position)
+    for i, op in enumerate(ops):
         if op[0] != "conv":
+            # Calibration records the post-op activation at every position —
+            # including save/restore/add — so the running index just advances.
+            cur = i + 1
             continue
         idx = op[1]
         p = folded_host[f"conv_{idx}"]
         kernel = np.asarray(p["kernel"], np.float32)
+        # Fold the per-input-channel activation scale into the kernel: the
+        # producer wrote x_q[c] = x[c]/s_in[c], so conv(x, W) =
+        # conv(x_q, W * s_in[c]) exactly.
+        s_in = scales[cur].astype(np.float32)
+        kernel = kernel * s_in[None, None, :, None]
         w_scale = np.maximum(np.abs(kernel).max(axis=(0, 1, 2)), 1e-8) / 127.0
         kernel_q = np.clip(np.round(kernel / w_scale), -127, 127).astype(np.int8)
         qparams[f"conv_{idx}"] = {
@@ -123,6 +165,7 @@ def quantize_folded(
             "w_scale": w_scale.astype(np.float32),
             "bias": np.asarray(p["bias"], np.float32),
         }
+        cur = i + 1
     if "head" in folded_host:
         qparams["head"] = folded_host["head"]
     return qparams
@@ -140,16 +183,19 @@ def _conv_int8(x_q, kernel_q, stride, k):
     )
 
 
-def _quant(h_f32, scale: float):
-    return jnp.clip(jnp.round(h_f32 * (1.0 / scale)), -127, 127).astype(jnp.int8)
+def _quant(h_f32, scale: np.ndarray):
+    inv = jnp.asarray(1.0 / scale, jnp.float32)
+    return jnp.clip(jnp.round(h_f32 * inv), -127, 127).astype(jnp.int8)
 
 
 def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = True):
     """int8 inference forward. x is f32/bf16 in network input space.
 
-    Activations travel between convs as int8 at the calibrated per-position
-    scales; conv epilogues (dequant+bias+leaky+requant) fuse into the convs.
-    Outputs are dequantized f32 (same contract as apply_graph_folded).
+    Activations travel between convs as int8 at the calibrated per-channel
+    per-position scales; conv epilogues (dequant+bias+leaky+requant) fuse into
+    the convs, and the input-channel scales are already folded into the
+    kernels (quantize_folded). Outputs are dequantized f32 (same contract as
+    apply_graph_folded).
 
     fuse_residual: when a conv is immediately followed by a residual 'add'
     (every Darknet residual block), skip the intermediate requant and fold the
@@ -157,11 +203,12 @@ def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = Tru
     to the post-add scale. Without this, every residual add materializes a
     standalone dequant->add->requant pass over the full activation — measured
     44% of the int8 program's device time at batch 384 (requant round/clip is
-    nonlinear, so XLA cannot elide the int8 round-trip itself). Fused this way
-    the add rounds once instead of twice, so it is also slightly MORE accurate.
+    nonlinear, so XLA cannot elide the int8 round-trip it was handed). Fused
+    this way the add rounds once instead of twice, so it is also slightly MORE
+    accurate.
     """
     scales = qparams["act_scales"]
-    saved: dict[str, tuple[jnp.ndarray, float]] = {}
+    saved: dict[str, tuple[jnp.ndarray, np.ndarray]] = {}
     outputs: dict[str, jnp.ndarray] = {}
     h_q = _quant(jnp.asarray(x, jnp.float32), scales[0])
     s = scales[0]
@@ -176,13 +223,13 @@ def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = Tru
             _, idx, _out_c, k, stride, _bn, leaky = op
             p = qparams[f"conv_{idx}"]
             y = _conv_int8(h_q, p["kernel_q"], stride, k)
-            h_f = y.astype(jnp.float32) * (s * p["w_scale"]) + p["bias"]
+            h_f = y.astype(jnp.float32) * p["w_scale"] + p["bias"]
             if leaky:
                 h_f = jnp.where(h_f > 0, h_f, LEAKY_ALPHA * h_f)
             if (fuse_residual and i + 1 < len(ops)
                     and ops[i + 1][0] == "add"):
                 skip_q, skip_s = saved[ops[i + 1][1]]
-                h_f = h_f + skip_q.astype(jnp.float32) * skip_s
+                h_f = h_f + skip_q.astype(jnp.float32) * jnp.asarray(skip_s, jnp.float32)
                 s_out = scales[i + 2]  # post-add position's scale
                 skip_add = True
             h_q, s = _quant(h_f, s_out), s_out
@@ -190,20 +237,22 @@ def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = Tru
             saved[op[1]] = (h_q, s)
         elif kind == "add":
             skip_q, skip_s = saved[op[1]]
-            h_f = skip_q.astype(jnp.float32) * skip_s + h_q.astype(jnp.float32) * s
+            h_f = (skip_q.astype(jnp.float32) * jnp.asarray(skip_s, jnp.float32)
+                   + h_q.astype(jnp.float32) * jnp.asarray(s, jnp.float32))
             h_q, s = _quant(h_f, s_out), s_out
         elif kind == "restore":
             h_q, s = saved[op[1]]
         elif kind == "concat":
             skip_q, skip_s = saved[op[1]]
             h_f = jnp.concatenate(
-                [h_q.astype(jnp.float32) * s,
-                 skip_q.astype(jnp.float32) * skip_s], axis=-1)
+                [h_q.astype(jnp.float32) * jnp.asarray(s, jnp.float32),
+                 skip_q.astype(jnp.float32) * jnp.asarray(skip_s, jnp.float32)],
+                axis=-1)
             h_q, s = _quant(h_f, s_out), s_out
         elif kind == "upsample":
             h_q = jnp.repeat(jnp.repeat(h_q, 2, axis=1), 2, axis=2)
         elif kind == "output":
-            outputs[op[1]] = h_q.astype(jnp.float32) * s
+            outputs[op[1]] = h_q.astype(jnp.float32) * jnp.asarray(s, jnp.float32)
         else:
             raise ValueError(f"unknown op {op}")
     return outputs

@@ -29,9 +29,9 @@ def main():
     from face_vijnana_yolov3_tpu.evals.detection import map_sweep
 
     valdir = os.path.join(workdir, "valset")
-    for precision, pct in (("float32", 0.0), ("bfloat16", 0.0),
-                           ("int8", 0.0), ("int8", 99.99), ("int8", 99.9),
-                           ("int8", 99.5)):
+    pcts = [float(a) for a in sys.argv[2:]] or [0.0, 99.99, 99.9, 99.5]
+    for precision, pct in ([("float32", 0.0), ("bfloat16", 0.0)]
+                           + [("int8", p) for p in pcts]):
         tag = precision if not pct else f"{precision}-p{pct}"
         sol = os.path.join(workdir, f"solution_fd_{tag}.csv")
         conf = FdConf(

@@ -39,7 +39,10 @@ def test_quant_structure(trunk_setup):
     m, _params, _state, folded, x = trunk_setup
     q = m.quantize(folded, x)
     assert len(q["act_scales"]) == len(m.ops) + 1
-    assert all(s > 0 for s in q["act_scales"])
+    # per-channel vectors: input is (3,), each position matches its C
+    assert q["act_scales"][0].shape == (3,)
+    assert all((s > 0).all() for s in q["act_scales"])
+    assert q["act_scales"][-1].shape == (1024,)  # trunk output
     for op in m.ops:
         if op[0] != "conv":
             continue
@@ -59,6 +62,8 @@ def test_quant_weight_roundtrip(trunk_setup):
     q = m.quantize(folded, x)
     folded_host = jax.device_get(folded)
     k = np.asarray(folded_host["conv_0"]["kernel"], np.float32)
+    # the stored kernel carries the folded per-input-channel activation scale
+    k = k * q["act_scales"][0][None, None, :, None]
     kq = q["conv_0"]["kernel_q"].astype(np.float32) * q["conv_0"]["w_scale"]
     # dequantized weights within half a quantization step
     assert np.max(np.abs(k - kq)) <= 0.51 * q["conv_0"]["w_scale"].max()
@@ -94,11 +99,13 @@ def test_percentile_calibration_robust_to_outliers(trunk_setup):
     assert err / ref < 0.08, f"rel err {err / ref}"
 
     x_out = np.asarray(x).copy()
-    x_out[0, 0, 0, 0] = 1000.0  # lone hot pixel
+    x_out[0, 0, 0, 0] = 1000.0  # lone hot pixel in channel 0
     s_max = m.quantize(folded, jnp.asarray(x_out))["act_scales"][0]
     s_pct = m.quantize(folded, jnp.asarray(x_out), percentile=99.9)["act_scales"][0]
-    assert s_max > 5.0  # maxabs stretched by the outlier
-    assert s_pct < 0.1  # percentile ignores it
+    assert s_max[0] > 5.0   # maxabs stretched by the outlier
+    assert s_pct[0] < 0.1   # percentile ignores it
+    # per-channel: the clean channels never saw the outlier even under maxabs
+    assert s_max[1] < 0.1 and s_max[2] < 0.1
 
 
 def test_fused_residual_requant_matches_unfused(trunk_setup):
@@ -111,9 +118,9 @@ def test_fused_residual_requant_matches_unfused(trunk_setup):
     out_plain = quant.apply_graph_quant(q, x, m.ops, fuse_residual=False)["trunk"]
     # Both end at the same final requant scale; values may differ by 1 step
     # at the handful of positions where single-vs-double rounding flips a bin.
-    final_scale = q["act_scales"][-1]
+    final_scale = q["act_scales"][-1]  # (1024,) per-channel
     diff = np.abs(np.asarray(out_fused) - np.asarray(out_plain))
-    assert diff.max() <= 2.01 * final_scale, (diff.max(), final_scale)
+    assert (diff <= 2.01 * final_scale + 1e-9).all(), diff.max()
     assert (diff > 0).mean() < 0.10  # overwhelmingly identical
 
 
