@@ -34,7 +34,12 @@ folded = model.fold(params, state)
 x_calib = jax.random.uniform(jax.random.PRNGKey(0), (8, 416, 416, 3), jnp.float32)
 qp = model.quantize(folded, x_calib)
 folded_s2d = s2d_lib.build_s2d_folded(folded)
-s = qp["act_scales"]  # [input, after conv_0, after conv_1, ...]
+# This probe predates (and is independent of) the per-channel activation
+# scheme: it quantizes its own front kernels with per-TENSOR scalar scales,
+# which is what its recorded findings measured. Scalars = channel-max of the
+# calibrated per-channel vectors.
+s = [float(np.max(v)) for v in qp["act_scales"][:3]]
+_fh = jax.device_get(folded)
 
 
 def quant_kernel(kernel):
@@ -48,6 +53,10 @@ k0q_s2d, w0s_s2d = quant_kernel(folded_s2d["s2d_conv0"]["kernel"])
 k1q_s2d, w1s_s2d = quant_kernel(folded_s2d["s2d_conv1"]["kernel"])
 b0_s2d = jnp.asarray(folded_s2d["s2d_conv0"]["bias"])
 b1_s2d = jnp.asarray(folded_s2d["s2d_conv1"]["bias"])
+k0q_st, w0s_st = quant_kernel(_fh["conv_0"]["kernel"])
+k1q_st, w1s_st = quant_kernel(_fh["conv_1"]["kernel"])
+b0_st = jnp.asarray(np.asarray(_fh["conv_0"]["bias"], np.float32))
+b1_st = jnp.asarray(np.asarray(_fh["conv_1"]["bias"], np.float32))
 
 
 def leaky(h):
@@ -56,12 +65,11 @@ def leaky(h):
 
 def front_stock_int8(x):
     h_q = _quant(x.astype(jnp.float32), s[0])
-    p0, p1 = qp["conv_0"], qp["conv_1"]
-    y = _conv_int8(h_q, p0["kernel_q"], 1, 3)
-    h = leaky(y.astype(jnp.float32) * (s[0] * p0["w_scale"]) + p0["bias"])
+    y = _conv_int8(h_q, k0q_st, 1, 3)
+    h = leaky(y.astype(jnp.float32) * (s[0] * w0s_st) + b0_st)
     h_q = _quant(h, s[1])
-    y = _conv_int8(h_q, p1["kernel_q"], 2, 3)
-    h = leaky(y.astype(jnp.float32) * (s[1] * p1["w_scale"]) + p1["bias"])
+    y = _conv_int8(h_q, k1q_st, 2, 3)
+    h = leaky(y.astype(jnp.float32) * (s[1] * w1s_st) + b1_st)
     return _quant(h, s[2])
 
 
