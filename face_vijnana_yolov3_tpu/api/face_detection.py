@@ -270,6 +270,11 @@ class FaceDetectorPipeline:
         )
 
         n_real = staged.shape[0]
+        if n_real == 0:
+            # empty staged chunk: nothing to pad against (geoms[-1] below
+            # would raise); return matching empty (cands, counts)
+            return (np.zeros((0, self.hps["num_cands"], 6), np.float32),
+                    np.zeros((0,), np.int32))
         bucket_h = -(-staged.shape[1] // 128) * 128
         bucket_w = -(-staged.shape[2] // 128) * 128
         pad_b = max(pad_batch_to or 0, n_real)
@@ -542,6 +547,11 @@ def _parse_cli(argv: list[str]) -> tuple[str | None, list[str]]:
     for a in it:
         if a.startswith("--conf="):
             conf_path = a.split("=", 1)[1]
+        elif a == "--conf":
+            nxt = next(it, None)
+            if nxt is None:
+                raise SystemExit("--conf requires a path argument")
+            conf_path = nxt
         elif a == "--set":
             nxt = next(it, None)
             if nxt is None:

@@ -57,7 +57,9 @@ def main():
     from face_vijnana_yolov3_tpu.models.quant import calibrate_folded
 
     scales = calibrate_folded(folded, x[:8], model.ops)
-    mx = np.asarray(scales) * 127.0
+    # per-channel calibration yields ragged (C_i,) vectors; reduce each to its
+    # max before stacking (np.asarray on the ragged list raises on numpy>=1.24)
+    mx = np.array([float(np.max(v)) for v in scales]) * 127.0
     order = np.argsort(mx)[::-1][:8]
     print("largest activation maxabs positions:",
           [(int(i), float(mx[i])) for i in order], flush=True)

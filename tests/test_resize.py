@@ -185,3 +185,19 @@ def test_matmul_letterbox_matches_host(h, w):
         assert np.all(dev[: geom.pad_t] == 0)
     if geom.pad_l:
         assert np.all(dev[:, : geom.pad_l] == 0)
+
+
+def test_detect_batch_fused_empty_chunk():
+    """An empty staged batch (n_real == 0) with pad_batch_to set must return
+    empty (cands, counts), not IndexError on geoms[-1] (advisor finding)."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+
+    conf = FdConf(weights_path="missing.weights")
+    conf.nn_arch.image_size = 64
+    fd = FaceDetectorPipeline(conf)
+    cands, counts = fd.detect_batch_fused(
+        np.zeros((0, 100, 140, 3), np.uint8), [], pad_batch_to=4
+    )
+    assert cands.shape == (0, conf.hps.num_cands, 6)
+    assert counts.shape == (0,)
