@@ -27,8 +27,13 @@ def collect_keras_weights(h5_path: str) -> dict[str, np.ndarray]:
     def visit(name, obj):
         if isinstance(obj, h5py.Dataset):
             # Keep the trailing 'layer/weight:0' identity regardless of nesting.
+            # Keras 2.2.4 (the reference) names datasets 'kernel:0'; Keras 3
+            # h5 saves drop the ':0' — normalize so both layouts import.
             parts = name.split("/")
-            key = "/".join(parts[-2:])
+            leaf = parts[-1] if ":" in parts[-1] else parts[-1] + ":0"
+            # Keras 3 renamed Dense/Conv 'bias' storage unchanged; BN names
+            # moving_mean/moving_variance are identical in both generations.
+            key = parts[-2] + "/" + leaf
             out[key] = np.asarray(obj)
 
     with h5py.File(h5_path, "r") as f:

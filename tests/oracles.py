@@ -88,3 +88,90 @@ def oracle_face_detect(head, image_size=416, grid=13, conf_th=0.5, nms_th=0.5,
     keep = [(b, min(s, 1.0)) for b, s in zip(boxes, scores) if s > 0.0]
     keep.sort(key=lambda t: t[1])  # ascending-score quirk
     return keep[:num_cands]
+
+
+# ----------------------------------------------------------------- COCO demo
+
+COCO_ANCHORS = (
+    (116, 90, 156, 198, 373, 326),
+    (30, 61, 62, 45, 59, 119),
+    (10, 13, 16, 30, 33, 23),
+)
+
+
+def oracle_coco_decode(netout, scale_idx, obj_th, net_h=416, net_w=416):
+    """Loop decode of one COCO scale, spec'd from decode_netout
+    (reference yolov3_detect.py:335-387): sigmoid xy / [obj,classes],
+    exp-anchor wh, per-scale anchor-subset skip, objectness gate.
+
+    Returns a list of dicts {xmin..ymax (normalized floats), obj, classes}.
+    """
+
+    def sigmoid(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    grid_h, grid_w = netout.shape[:2]
+    t = np.array(netout, dtype=np.float64).reshape(grid_h, grid_w, 3, -1)
+    anchors = COCO_ANCHORS[scale_idx]
+    out = []
+    for i in range(grid_h * grid_w):
+        row, col = int(i / grid_w), i % grid_w
+        for b in range(3):
+            # anchor-subset skip quirk (yolov3_detect.py:354-362)
+            if scale_idx in (0, 2) and b in (0, 2):
+                continue
+            if scale_idx == 1 and b == 1:
+                continue
+            obj = sigmoid(t[row, col, b, 4])
+            if obj < obj_th:
+                continue
+            x = (col + sigmoid(t[row, col, b, 0])) / grid_w
+            y = (row + sigmoid(t[row, col, b, 1])) / grid_h
+            w = anchors[2 * b] * np.exp(t[row, col, b, 2]) / net_w
+            h = anchors[2 * b + 1] * np.exp(t[row, col, b, 3]) / net_h
+            out.append({
+                "xmin": x - w / 2, "ymin": y - h / 2,
+                "xmax": x + w / 2, "ymax": y + h / 2,
+                "obj": obj, "classes": sigmoid(t[row, col, b, 5:]),
+            })
+    return out
+
+
+def oracle_correct_coco_boxes(boxes, image_h, image_w, net_h=416, net_w=416):
+    """correct_yolo_boxes semantics (yolov3_detect.py:389-404) incl. the
+    `new_h = net_w` quirk; int() truncation into original-image coords."""
+    if (float(net_w) / image_w) < (float(net_h) / image_h):
+        new_w = net_w
+        new_h = (image_h * net_w) / image_w
+    else:
+        new_h = net_w  # reference quirk (:394)
+        new_w = (image_w * net_h) / image_h
+    x_off, x_scale = (net_w - new_w) / 2.0 / net_w, float(new_w) / net_w
+    y_off, y_scale = (net_h - new_h) / 2.0 / net_h, float(new_h) / net_h
+    for bx in boxes:
+        bx["xmin"] = int((bx["xmin"] - x_off) / x_scale * image_w)
+        bx["xmax"] = int((bx["xmax"] - x_off) / x_scale * image_w)
+        bx["ymin"] = int((bx["ymin"] - y_off) / y_scale * image_h)
+        bx["ymax"] = int((bx["ymax"] - y_off) / y_scale * image_h)
+    return boxes
+
+
+def oracle_nms_multi(boxes, nms_th):
+    """do_nms semantics (yolov3_detect.py:426-444): per class, descending-score
+    sweep zeroing classes[c] of suppressed boxes, in place."""
+    if not boxes:
+        return boxes
+    nb_class = len(boxes[0]["classes"])
+    coords = [(b["xmin"], b["ymin"], b["xmax"], b["ymax"]) for b in boxes]
+    for c in range(nb_class):
+        order = np.argsort([-b["classes"][c] for b in boxes])
+        for ii in range(len(order)):
+            i = order[ii]
+            if boxes[i]["classes"][c] == 0:
+                continue
+            for jj in range(ii + 1, len(order)):
+                j = order[jj]
+                iou = oracle_iou(coords[i], coords[j])
+                if iou >= nms_th:
+                    boxes[j]["classes"][c] = 0
+    return boxes
