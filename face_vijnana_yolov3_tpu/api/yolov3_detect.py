@@ -64,6 +64,22 @@ def preprocess_coco(image: np.ndarray, net_h: int = 416, net_w: int = 416):
     return canvas[None].astype(np.float32)
 
 
+def load_yolov3_params(path: str):
+    """(params, state) for the full 3-head graph from either weight format:
+    a darknet binary (`yolov3.weights`) or a Keras-layout h5
+    (`yolov3_model.h5` — the demo CLI's save/load fast path, reference
+    yolov3_detect.py:572-585)."""
+    from face_vijnana_yolov3_tpu.models import darknet
+
+    if path.endswith((".h5", ".hd5")):
+        from face_vijnana_yolov3_tpu.core.keras_import import yolov3_from_keras_h5
+
+        return yolov3_from_keras_h5(path)
+    from face_vijnana_yolov3_tpu.core.weights import load_darknet_weights
+
+    return load_darknet_weights(path, darknet.yolov3_graph())
+
+
 def detect_coco(
     weights_path: str,
     image: np.ndarray,
@@ -71,17 +87,20 @@ def detect_coco(
     nms_thresh: float = 0.45,
     precision: str = "float32",
     net_size: int = 416,
+    params_state: tuple | None = None,
 ):
     """Full-image COCO detection; returns (boxes, objness, classes, valid)."""
     import jax
     import jax.numpy as jnp
 
     from face_vijnana_yolov3_tpu.models import darknet
-    from face_vijnana_yolov3_tpu.core.weights import load_darknet_weights
     from face_vijnana_yolov3_tpu.ops.postprocess import coco_postprocess
 
     ops = darknet.yolov3_graph()
-    params, state = load_darknet_weights(weights_path, ops)
+    if params_state is not None:
+        params, state = params_state
+    else:
+        params, state = load_yolov3_params(weights_path)
     image_h, image_w = image.shape[:2]
     x = jnp.asarray(preprocess_coco(image, net_size, net_size))
 
@@ -162,6 +181,74 @@ def draw_coco(image: np.ndarray, boxes, objness, classes, valid,
     return np.asarray(im)
 
 
+class YOLOV3:
+    """Convenience detector mirroring the docker variant's `YOLOV3` class
+    (reference docker/code/yolov3_detect.py:623-683): constructed from the
+    saved model file, `detect_object` runs detect → person/bottle entropy
+    filter → draw → `*_detected*` save and returns (image, boxes).
+
+    `model_path` accepts the legacy `yolov3_model.hd5`/`.h5` (Keras-layout
+    weights h5) or a darknet `yolov3.weights`.
+    """
+
+    def __init__(self, model_path: str = "yolov3_model.h5",
+                 precision: str = "float32", net_size: int = 416):
+        # 416 like the reference; the 256/128 variants it keeps commented
+        # out (docker/code/yolov3_detect.py:630-632) are the net_size knob
+        self.net_h = self.net_w = net_size
+        self.labels = COCO_LABELS
+        self.precision = precision
+        self.params_state = load_yolov3_params(model_path)
+
+    def _detect_boxes(self, image: np.ndarray, obj_thresh, nms_thresh):
+        """BoundBox list in original-image coords (reference box API)."""
+        from face_vijnana_yolov3_tpu.ops.boxes import BoundBox
+
+        boxes, obj, classes, valid = detect_coco(
+            "", image, obj_thresh, nms_thresh, self.precision,
+            net_size=self.net_h, params_state=self.params_state,
+        )
+        out = []
+        for k in range(boxes.shape[0]):
+            if not valid[k] or not np.all(np.isfinite(boxes[k])):
+                continue
+            out.append(BoundBox(
+                float(boxes[k, 0]), float(boxes[k, 1]),
+                float(boxes[k, 2]), float(boxes[k, 3]),
+                objness=float(obj[k]), classes=np.asarray(classes[k]),
+            ))
+        return out
+
+    def detect_object(self, image_path, obj_thresh, cls_thresh, nms_thresh,
+                      human_entropy_thresh, bottle_entropy_thresh):
+        """docker/code/yolov3_detect.py:640-668 semantics, incl. the
+        `image_path[:-5] + '_detected' + image_path[-5:]` output-name
+        arithmetic (written for 5-char '.jpeg' suffixes; a '.jpg' input loses
+        a stem character exactly as the reference would)."""
+        from face_vijnana_yolov3_tpu.utils.io import imread, imsave
+        from face_vijnana_yolov3_tpu.utils.box_select import get_person_boxes
+        from face_vijnana_yolov3_tpu.utils.drawing import draw_boxes_v1
+
+        image = imread(image_path)
+        boxes = self._detect_boxes(image, obj_thresh, nms_thresh)
+        boxes = get_person_boxes(boxes, self.labels, cls_thresh,
+                                 human_entropy_thresh, bottle_entropy_thresh)
+        image = draw_boxes_v1(image, boxes, self.labels, cls_thresh)
+        imsave(image_path[:-5] + "_detected" + image_path[-5:],
+               image.astype("uint8"))
+        return image, boxes
+
+    def detect_person(self, image, obj_thresh, cls_thresh, nms_thresh,
+                      human_entropy_thresh, bottle_entropy_thresh):
+        """In-memory variant (docker/code/yolov3_detect.py:670-683): detect on
+        an array and return the entropy-filtered person boxes, no drawing."""
+        from face_vijnana_yolov3_tpu.utils.box_select import get_person_boxes
+
+        boxes = self._detect_boxes(np.asarray(image), obj_thresh, nms_thresh)
+        return get_person_boxes(boxes, self.labels, cls_thresh,
+                                human_entropy_thresh, bottle_entropy_thresh)
+
+
 def main(argv=None):
     from face_vijnana_yolov3_tpu.utils.io import imread, imsave
     from face_vijnana_yolov3_tpu.utils.runtime import enable_compile_cache
@@ -169,8 +256,14 @@ def main(argv=None):
     parser = argparse.ArgumentParser(
         description="test yolov3 network with coco weights"
     )
-    parser.add_argument("-w", "--weights", required=True)
+    parser.add_argument("-w", "--weights", default="yolov3.weights")
     parser.add_argument("-i", "--image", required=True)
+    parser.add_argument("-l", "--load", default=0, type=int,
+                        help="1: load yolov3_model.h5 instead of -w "
+                             "(reference yolov3_detect.py:572-580)")
+    parser.add_argument("-s", "--save", default=0, type=int,
+                        help="1: save yolov3_model.h5 after loading "
+                             "(reference yolov3_detect.py:584-585)")
     parser.add_argument("--obj-thresh", type=float, default=0.5)
     parser.add_argument("--nms-thresh", type=float, default=0.45)
     parser.add_argument("--precision", default="float32",
@@ -178,9 +271,20 @@ def main(argv=None):
     ns = parser.parse_args(argv)
 
     enable_compile_cache()
+    if ns.load:
+        params_state = load_yolov3_params("yolov3_model.h5")
+    else:
+        params_state = load_yolov3_params(ns.weights)
+    if ns.save:
+        from face_vijnana_yolov3_tpu.core.keras_import import (
+            save_yolov3_keras_h5,
+        )
+
+        save_yolov3_keras_h5(*params_state, "yolov3_model.h5")
     image = imread(ns.image)
     boxes, obj, classes, valid = detect_coco(
-        ns.weights, image, ns.obj_thresh, ns.nms_thresh, ns.precision
+        "", image, ns.obj_thresh, ns.nms_thresh, ns.precision,
+        params_state=params_state,
     )
     out = draw_coco(image, boxes, obj, classes, valid)
     root, ext = os.path.splitext(ns.image)

@@ -112,3 +112,39 @@ def yolov3_from_keras_h5(h5_path: str):
             params[f"bnorm_{idx}"] = bp
             state[f"bnorm_{idx}"] = bs
     return params, state
+
+
+def save_yolov3_keras_h5(params, state, h5_path: str):
+    """Save full-graph YOLOv3 params as a Keras-layout weights h5.
+
+    Counterpart of the demo CLI's `yolov3.save('yolov3_model.h5')` fast path
+    (reference src/space/yolov3_detect.py:584-585): reloading skips the 248 MB
+    darknet binary parse. Datasets are laid out Keras-2.2.4 style
+    (`model_weights/<layer>/<layer>/<weight>:0`) so `yolov3_from_keras_h5`
+    (and any h5py reader of reference checkpoints) reads it back; unlike the
+    reference this stores weights only, not a pickled Keras model object —
+    there is no Keras graph here to serialize.
+    """
+    import h5py
+
+    from face_vijnana_yolov3_tpu.models.darknet import yolov3_graph, conv_layout
+
+    with h5py.File(h5_path, "w") as f:
+        root = f.create_group("model_weights")
+
+        def put(layer, wname, arr):
+            root.require_group(layer).create_dataset(
+                f"{layer}/{wname}:0", data=np.asarray(arr, np.float32)
+            )
+
+        for idx, _i, _o, _k, _s, bn in conv_layout(yolov3_graph()):
+            entry = params[f"conv_{idx}"]
+            put(f"conv_{idx}", "kernel", entry["kernel"])
+            if not bn:
+                put(f"conv_{idx}", "bias", entry["bias"])
+            else:
+                bp, bs = params[f"bnorm_{idx}"], state[f"bnorm_{idx}"]
+                put(f"bnorm_{idx}", "gamma", bp["gamma"])
+                put(f"bnorm_{idx}", "beta", bp["beta"])
+                put(f"bnorm_{idx}", "moving_mean", bs["mean"])
+                put(f"bnorm_{idx}", "moving_variance", bs["var"])

@@ -124,3 +124,80 @@ def test_pipeline_recon_roundtrip(tmp_path, monkeypatch):
         np.asarray(fi2.recon_params["dense1_t"]["bias"]),
         np.asarray(fi.recon_params["dense1_t"]["bias"]),
     )
+
+
+def test_demo_cli_save_load_and_h5_roundtrip(tmp_path, monkeypatch):
+    """-s writes yolov3_model.h5 (Keras layout), -l runs from it, and the h5
+    roundtrips bit-exactly vs the darknet import (reference save/load fast
+    path, yolov3_detect.py:572-585)."""
+    from face_vijnana_yolov3_tpu.api import yolov3_detect
+    from face_vijnana_yolov3_tpu.core.keras_import import yolov3_from_keras_h5
+    from face_vijnana_yolov3_tpu.core.weights import load_darknet_weights
+    from face_vijnana_yolov3_tpu.utils.io import imsave, imread
+
+    monkeypatch.chdir(tmp_path)
+    weights = _fake_full_weights(tmp_path)
+    img_path = str(tmp_path / "scene.jpg")
+    imsave(
+        img_path,
+        np.random.default_rng(3).uniform(0, 255, (120, 160, 3)).astype(np.uint8),
+    )
+    yolov3_detect.main(["-w", weights, "-i", img_path, "-s", "1",
+                        "--obj-thresh", "0.01"])
+    assert os.path.exists("yolov3_model.h5")
+
+    params, state = load_darknet_weights(weights, darknet.yolov3_graph())
+    h5_params, h5_state = yolov3_from_keras_h5("yolov3_model.h5")
+    for key, entry in params.items():
+        for wname, arr in entry.items():
+            np.testing.assert_array_equal(
+                np.asarray(arr), np.asarray(h5_params[key][wname])
+            )
+    for key, entry in state.items():
+        for wname, arr in entry.items():
+            np.testing.assert_array_equal(
+                np.asarray(arr), np.asarray(h5_state[key][wname])
+            )
+
+    out_path = str(tmp_path / "scene_detected.jpg")
+    first = imread(out_path).copy()
+    os.remove(out_path)
+    # -l 1 ignores -w and loads the h5 (compiled program is cached, cheap)
+    yolov3_detect.main(["-l", "1", "-i", img_path, "--obj-thresh", "0.01"])
+    np.testing.assert_array_equal(imread(out_path), first)
+
+
+def test_yolov3_class_detect_object(tmp_path, monkeypatch):
+    """Docker-variant YOLOV3.detect_object parity
+    (docker/code/yolov3_detect.py:623-668): person/bottle entropy filter,
+    v1 drawing, and the [:-5] output-name arithmetic (built for '.jpeg')."""
+    from face_vijnana_yolov3_tpu.api.yolov3_detect import YOLOV3
+    from face_vijnana_yolov3_tpu.core.keras_import import save_yolov3_keras_h5
+    from face_vijnana_yolov3_tpu.core.weights import load_darknet_weights
+    from face_vijnana_yolov3_tpu.utils.io import imsave
+
+    monkeypatch.chdir(tmp_path)
+    weights = _fake_full_weights(tmp_path)
+    params, state = load_darknet_weights(weights, darknet.yolov3_graph())
+    save_yolov3_keras_h5(params, state, "yolov3_model.h5")
+
+    img_path = str(tmp_path / "scene.jpeg")
+    imsave(
+        img_path,
+        np.random.default_rng(4).uniform(0, 255, (100, 140, 3)).astype(np.uint8),
+    )
+    det = YOLOV3(net_size=128)
+    image, boxes = det.detect_object(
+        img_path, obj_thresh=0.01, cls_thresh=0.0, nms_thresh=0.45,
+        human_entropy_thresh=100.0, bottle_entropy_thresh=100.0,
+    )
+    assert image.shape == (100, 140, 3)
+    assert os.path.exists(str(tmp_path / "scene_detected.jpeg"))
+    for b in boxes:
+        assert b.classes.shape == (80,)
+
+    persons = det.detect_person(
+        np.asarray(image), obj_thresh=0.01, cls_thresh=0.0, nms_thresh=0.45,
+        human_entropy_thresh=100.0, bottle_entropy_thresh=100.0,
+    )
+    assert isinstance(persons, list)
