@@ -34,14 +34,18 @@ import time
 
 N_ITER = 10
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
-TRAIN_EPOCHS = 30
-N_TRAIN, N_VAL = 160, 40
+TRAIN_EPOCHS = 220     # held-out AP needs real training, not a 30-epoch sketch
+EPOCH_CHUNK = 110      # train in resumable chunks (kill-safe via the meta file)
+N_TRAIN, N_VAL = 256, 40
 
 
 def ensure_trained_checkpoint():
-    """Train once through the real pipeline (or reuse the cached run).
+    """Train once through the real pipeline (or reuse/extend the cached run).
 
-    Returns (ckpt_path, valdir) or (None, None) if training is impossible.
+    Progress is tracked in CACHE/meta.json; a killed run resumes from the
+    interval checkpoint and continues to TRAIN_EPOCHS, so any single bench
+    invocation is bounded while the cache converges.
+    Returns (ckpt_path, valdir).
     """
     from face_vijnana_yolov3_tpu.core.checkpoints import checkpoint_exists
     from face_vijnana_yolov3_tpu.api.config import FdConf
@@ -49,15 +53,22 @@ def ensure_trained_checkpoint():
 
     ckpt = os.path.join(CACHE, "fd_ckpt")
     valdir = os.path.join(CACHE, "valset")
+    meta_path = os.path.join(CACHE, "meta.json")
+    meta = {"epochs_done": 0}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
 
-    if not (checkpoint_exists(ckpt) and os.path.isdir(valdir)):
+    while meta["epochs_done"] < TRAIN_EPOCHS or not os.path.isdir(valdir):
         sys.path.insert(
             0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "scripts"))
         from synthetic_e2e import make_dataset
 
         os.makedirs(CACHE, exist_ok=True)
-        make_dataset(CACHE, n_train=N_TRAIN, n_val=N_VAL)
+        if not os.path.exists(os.path.join(CACHE, "validation.csv")):
+            make_dataset(CACHE, n_train=N_TRAIN, n_val=N_VAL)
+        n_epochs = min(EPOCH_CHUNK, TRAIN_EPOCHS - meta["epochs_done"])
         conf = FdConf(
             raw_data_path=CACHE,
             test_path=CACHE,
@@ -65,16 +76,20 @@ def ensure_trained_checkpoint():
             model_path=ckpt,
         )
         conf.hps.lr = 1e-3
-        conf.hps.epochs = TRAIN_EPOCHS
+        conf.hps.epochs = max(n_epochs, 1)
         conf.hps.batch_size = 16
-        conf.checkpoint_every = 10
+        conf.checkpoint_every = 20
         conf.dataset_cache = "samples"
         if checkpoint_exists(ckpt):
             conf.model_loading = True
         t0 = time.time()
         fd = FaceDetectorPipeline(conf)
         losses = fd.train()
-        print(f"# trained {TRAIN_EPOCHS} epochs in {time.time()-t0:.0f}s "
+        meta["epochs_done"] += conf.hps.epochs
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        print(f"# trained to epoch {meta['epochs_done']}/{TRAIN_EPOCHS} "
+              f"in {time.time()-t0:.0f}s "
               f"(loss {losses[0]:.4f} -> {losses[-1]:.4f})", file=sys.stderr)
 
         import glob

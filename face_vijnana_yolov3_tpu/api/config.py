@@ -106,7 +106,11 @@ class FiConf:
     model_loading: bool = False
     weights_path: str = "yolov3.weights"
     model_path: str = "face_identifier_tpu"
-    # Framework extensions, as in FdConf.
+    # Framework extensions, as in FdConf. model_axis > 1 turns on tensor
+    # parallelism for dense1 (the 173056-wide flatten matmul, the reference's
+    # biggest single tensor): devices arrange as a
+    # (data = n/model_axis, model = model_axis) mesh.
+    model_axis: int = 1
     checkpoint_every: int = 0
     int8_calib_percentile: float = 99.99
     hps: FiHps = dataclasses.field(default_factory=FiHps)

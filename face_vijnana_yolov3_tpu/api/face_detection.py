@@ -242,7 +242,8 @@ class FaceDetectorPipeline:
     # -------------------------------------------------------------- evaluate/test
 
     def detect_batch_fused(self, staged: np.ndarray, geoms: list,
-                           pad_batch_to: int | None = None):
+                           pad_batch_to: int | None = None,
+                           dec_dims: np.ndarray | None = None):
         """Fused strict letterbox + detect, entirely on device.
 
         `staged` is (B, maxH, maxW, 3) images packed top-left — uint8 raw
@@ -263,6 +264,11 @@ class FaceDetectorPipeline:
         programs instead of recompiling per chunk (cold axon compiles are
         60-90s each). The pad area is zeros; the letterbox matrices read only
         each image's own src rows/cols, so results are unchanged.
+
+        dec_dims: (B, 2) actual staged pixel dims when the JPEGs were decoded
+        at a reduced DCT scale (native_loader.decode_batch_staged_scaled) —
+        geoms stay in ORIGINAL coords (box un-mapping unchanged), only the
+        resize matrices read the scaled source. Not bit-exact vs full decode.
         """
         from face_vijnana_yolov3_tpu.ops.resize import (
             letterbox_matrices,
@@ -285,20 +291,30 @@ class FaceDetectorPipeline:
             padded[:n_real, : staged.shape[1], : staged.shape[2]] = staged
             staged = padded
             geoms = list(geoms) + [geoms[-1]] * (pad_b - n_real)
+            if dec_dims is not None:
+                dec_dims = np.concatenate(
+                    [dec_dims, np.repeat(dec_dims[-1:], pad_b - n_real, 0)]
+                )
 
         max_h, max_w = staged.shape[1], staged.shape[2]
         if not hasattr(self, "_mat_cache"):
             self._mat_cache = {}
 
-        def mats_for(g):
-            k = (g.src_h, g.src_w, max_h, max_w)
+        def mats_for(g, dec=None):
+            dh = int(dec[0]) if dec is not None else None
+            dw = int(dec[1]) if dec is not None else None
+            k = (g.src_h, g.src_w, max_h, max_w, dh, dw)
             if k not in self._mat_cache:
                 self._mat_cache[k] = letterbox_matrices(
-                    g, max_h, max_w, self.image_size, "cubic"
+                    g, max_h, max_w, self.image_size, "cubic",
+                    dec_h=dh, dec_w=dw,
                 )
             return self._mat_cache[k]
 
-        mats = [mats_for(g) for g in geoms]
+        if dec_dims is None:
+            mats = [mats_for(g) for g in geoms]
+        else:
+            mats = [mats_for(g, d) for g, d in zip(geoms, dec_dims)]
         uniform = all(m is mats[0] for m in mats)
         if uniform:
             row_ms = mats[0][0][None]
@@ -352,16 +368,26 @@ class FaceDetectorPipeline:
         return np.asarray(cands)[:n_real], np.asarray(counts)[:n_real]
 
     def _iter_detections(self, file_names: list[str], batch_size: int,
-                         device_letterbox: bool | None = None):
+                         device_letterbox: bool | None = None,
+                         scaled_decode: bool | None = None):
         """Letterbox + detect in device batches; yields per-image results.
 
         Yields (file_name, original_image, geom, boxes_in_original_coords) where
         boxes rows are [xmin,ymin,xmax,ymax,score] floats in original coords.
         device_letterbox=True routes preprocessing through the fused on-device
         strict letterbox (default: env FVY_DEVICE_LETTERBOX=1).
+
+        scaled_decode=True additionally decodes JPEGs at a reduced DCT scale
+        (libjpeg scale_num/8, native loader) — ~4x less host decode work for
+        720p→416 targets. The yielded `original_image` is then the SCALED
+        pixels (callers that draw overlays must not enable this); box coords
+        remain in true original coords. Default: env FVY_JPEG_SCALED_DECODE=1,
+        and only effective on the native device-letterbox path.
         """
         if device_letterbox is None:
             device_letterbox = os.environ.get("FVY_DEVICE_LETTERBOX") == "1"
+        if scaled_decode is None:
+            scaled_decode = os.environ.get("FVY_JPEG_SCALED_DECODE") == "1"
         from face_vijnana_yolov3_tpu.data.pipeline import prefetch_batches
         from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_geometry
 
@@ -383,6 +409,22 @@ class FaceDetectorPipeline:
             """Host side of one batch (decode + stage/letterbox) — runs on the
             prefetch thread so JPEG decode overlaps device compute."""
             chunk = chunks[i]
+            if native is not None and scaled_decode:
+                staged_u8, dec_dims, orig_dims = (
+                    native.decode_batch_staged_scaled(chunk, self.image_size)
+                )
+                # "originals" are the scaled pixels (no drawing on this path);
+                # geometry — and therefore box un-mapping — uses TRUE dims
+                originals = [
+                    staged_u8[k, : dec_dims[k, 0], : dec_dims[k, 1]]
+                    for k in range(len(chunk))
+                ]
+                geoms = [
+                    letterbox_geometry(int(d[0]), int(d[1]), self.image_size)
+                    for d in orig_dims
+                ]
+                return ("staged_scaled", (staged_u8, dec_dims), geoms,
+                        originals)
             if native is not None:
                 staged_u8, dims = native.decode_batch_staged(chunk)
                 originals = [
@@ -420,7 +462,13 @@ class FaceDetectorPipeline:
             load_chunk, len(chunks), prefetch=2, device_put=False
         )
         for chunk, (kind, batch, geoms, originals) in zip(chunks, loaded):
-            if kind == "staged":
+            if kind == "staged_scaled":
+                staged_u8, dec_dims = batch
+                cands, counts = self.detect_batch_fused(
+                    staged_u8, geoms, pad_batch_to=batch_size,
+                    dec_dims=dec_dims,
+                )
+            elif kind == "staged":
                 cands, counts = self.detect_batch_fused(
                     batch, geoms, pad_batch_to=batch_size
                 )
@@ -481,8 +529,10 @@ class FaceDetectorPipeline:
 
         count1 = 1
         with open(output_file_path, "w") as f:
+            # scaled_decode=False: evaluate draws GT/pred overlays on the
+            # decoded pixels, which must be full-resolution
             for fn, image_o, geom, boxes in self._iter_detections(
-                file_names, int(self.hps["batch_size"])
+                file_names, int(self.hps["batch_size"]), scaled_decode=False
             ):
                 if DEBUG:
                     print(count1, "/", len(file_names), fn)
@@ -495,6 +545,11 @@ class FaceDetectorPipeline:
                 try:
                     df = gt_groups.get_group(base)
                 except KeyError:
+                    # Deliberate divergence: the reference's evaluate calls
+                    # get_group unguarded (face_detection.py:741-745) and
+                    # CRASHES with KeyError on a test image absent from
+                    # validation.csv; here the image still gets its CSV rows
+                    # (written above) and only the GT overlay is skipped.
                     continue
                 gt_boxes = []
                 for i in range(df.shape[0]):

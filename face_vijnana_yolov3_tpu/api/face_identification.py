@@ -196,12 +196,16 @@ class FaceIdentifierPipeline:
         )
         import jax.numpy as jnp
 
+        from face_vijnana_yolov3_tpu.parallel import mesh as mesh_lib
+
+        model_axis = int(getattr(self.conf, "model_axis", 1))
         self.params, self.state, losses = train_identifier(
             self.model,
             self.params,
             self.state,
             dataset,
             self.hps,
+            mesh=mesh_lib.make_mesh(model_axis=model_axis),
             checkpoint_path=self.conf.model_path,
             init_opt_state=self.opt_state,
             history_path=self.conf.model_path + "_history.jsonl",
@@ -340,8 +344,11 @@ class FaceIdentifierPipeline:
 
         count1 = 1
         with open(output_file_path, "w") as f:
+            # scaled_decode=False: the crop-from-original quirk (and result
+            # drawing) needs full-resolution pixels
             for fn, image_o, _geom, boxes in self.fd._iter_detections(
-                file_names, int(vars(self.fd_conf.hps)["batch_size"])
+                file_names, int(vars(self.fd_conf.hps)["batch_size"]),
+                scaled_decode=False,
             ):
                 if DEBUG:
                     print(count1, "/", len(file_names), fn)

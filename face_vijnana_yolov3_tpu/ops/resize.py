@@ -109,13 +109,20 @@ def resize_cv2_nearest(image: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarra
 # -------------------------------------------------- batched strict letterbox
 
 def letterbox_taps(geom, max_h: int, max_w: int, image_size: int,
-                   interpolation: str = "cubic"):
+                   interpolation: str = "cubic",
+                   dec_h: int | None = None, dec_w: int | None = None):
     """Fixed-shape tap tables for one image's strict letterbox.
 
     Output rows [0, image_size): rows inside the pad band keep weight 0 (output
     exactly 0, the reference's black border); rows inside [pad, pad+new) carry
     the resize taps of the (src → new) mapping. Index tables address the staged
     (max_h, max_w) buffer, so one compiled program serves any image size.
+
+    dec_h/dec_w: actual dims of the staged pixels when they were decoded at a
+    reduced DCT scale (native_loader.decode_batch_staged_scaled) — the
+    letterbox GEOMETRY (new sizes, pads; and the box un-mapping downstream)
+    stays a function of the ORIGINAL dims in `geom`, only the resize source
+    changes. Not bit-exact vs a full-res decode; callers gate it.
     """
     make = cubic_taps if interpolation == "cubic" else nearest_taps
     taps = 4 if interpolation == "cubic" else 1
@@ -128,8 +135,8 @@ def letterbox_taps(geom, max_h: int, max_w: int, image_size: int,
         w[pad : pad + new] = tw
         return idx, w
 
-    ri, rw = one_axis(geom.src_h, geom.new_h, geom.pad_t)
-    ci, cw = one_axis(geom.src_w, geom.new_w, geom.pad_l)
+    ri, rw = one_axis(dec_h or geom.src_h, geom.new_h, geom.pad_t)
+    ci, cw = one_axis(dec_w or geom.src_w, geom.new_w, geom.pad_l)
     return ri, rw, ci, cw
 
 
@@ -146,13 +153,14 @@ def letterbox_device_strict(
 
 
 def letterbox_matrices(geom, max_h: int, max_w: int, image_size: int,
-                       interpolation: str = "cubic"):
+                       interpolation: str = "cubic",
+                       dec_h: int | None = None, dec_w: int | None = None):
     """(row (S,maxH), col (S,maxW)) dense letterbox matrices for one image.
 
     Pad-band output rows/cols carry all-zero matrix rows, so the black border
-    falls out of the matmul."""
+    falls out of the matmul. dec_h/dec_w: see letterbox_taps."""
     ri, rw, ci, cw = letterbox_taps(geom, max_h, max_w, image_size,
-                                    interpolation)
+                                    interpolation, dec_h=dec_h, dec_w=dec_w)
     return taps_to_matrix(ri, rw, max_h), taps_to_matrix(ci, cw, max_w)
 
 

@@ -320,6 +320,17 @@ def train_identifier(
     data = mesh_lib.batch_sharded(mesh)
     n_dev = mesh.devices.size
 
+    # Tensor parallelism for dense1 (the reference's biggest single tensor,
+    # 173056xdense1_dim): kernel input-dim sharded over 'model', Adam moments
+    # sharded the same way; with model_axis == 1 the specs degenerate to
+    # replicated, so the dryrun and real training share this one code path.
+    pspec = mesh_lib.shard_identifier_params(mesh, params)
+    opt_spec = type(opt_state)(
+        count=repl,
+        mu=mesh_lib.shard_identifier_params(mesh, opt_state.mu),
+        nu=mesh_lib.shard_identifier_params(mesh, opt_state.nu),
+    )
+
     dtype = compute_dtype if compute_dtype is not None else jax.numpy.float32
 
     def step_fn(params, state, opt_state, a, p, n, weights):
@@ -358,9 +369,13 @@ def train_identifier(
         budget = float(os.environ.get("FVY_DEVICE_DATA_BUDGET", 4e9))
         device_data = steps * sum(x.nbytes for x in b0) <= budget
 
-    params = jax.device_put(params, repl)
+    params = mesh_lib.put_tree(params, pspec)
     state = jax.device_put(state, repl)
-    opt_state = jax.device_put(opt_state, repl)
+    opt_state = type(opt_state)(
+        count=jax.device_put(opt_state.count, repl),
+        mu=mesh_lib.put_tree(opt_state.mu, opt_spec.mu),
+        nu=mesh_lib.put_tree(opt_state.nu, opt_spec.nu),
+    )
 
     losses = []
     if device_data:
@@ -387,15 +402,15 @@ def train_identifier(
 
         jit_epoch = jax.jit(
             epoch_fn,
-            in_shardings=(repl, repl, repl) + (data_stacked,) * 4,
-            out_shardings=(repl, repl, repl, repl),
+            in_shardings=(pspec, repl, opt_spec) + (data_stacked,) * 4,
+            out_shardings=(pspec, repl, opt_spec, repl),
             donate_argnums=(0, 1, 2),
         )
     else:
         jit_step = jax.jit(
             step_fn,
-            in_shardings=(repl, repl, repl, data, data, data, data),
-            out_shardings=(repl, repl, repl, repl),
+            in_shardings=(pspec, repl, opt_spec, data, data, data, data),
+            out_shardings=(pspec, repl, opt_spec, repl),
             donate_argnums=(0, 1, 2),
         )
 

@@ -39,8 +39,13 @@ void err_exit(j_common_ptr cinfo) {
 }
 
 // Decode one file into base (row stride max_w*3). Returns 0 on success.
+// scale_num > 0 requests DCT-domain scaled decode at scale_num/8 (libjpeg
+// reduced IDCT: a 3/8 decode of a 720p frame does ~1/7 the IDCT + color
+// work of a full decode — the host-side lever for the streaming pipeline,
+// replacing the reference's full-res host imread+resize loop,
+// reference src/space/face_detection.py:656-697).
 int decode_one(const char* path, unsigned char* base, int max_h, int max_w,
-               int* out_h, int* out_w) {
+               int* out_h, int* out_w, int scale_num = 0) {
   *out_h = 0;
   *out_w = 0;
   FILE* f = fopen(path, "rb");
@@ -59,6 +64,10 @@ int decode_one(const char* path, unsigned char* base, int max_h, int max_w,
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;  // grayscale/CMYK sources convert
+  if (scale_num > 0) {
+    cinfo.scale_num = static_cast<unsigned>(scale_num);
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   const int h = static_cast<int>(cinfo.output_height);
   const int w = static_cast<int>(cinfo.output_width);
@@ -125,6 +134,40 @@ int fvy_decode_jpeg_batch(const char** paths, int n, unsigned char* out,
           out + static_cast<size_t>(i) * max_h * max_w * 3;
       int h = 0, w = 0;
       if (decode_one(paths[i], base, max_h, max_w, &h, &w) != 0) {
+        errs.fetch_add(1);
+      }
+      dims[2 * i] = h;
+      dims[2 * i + 1] = w;
+    }
+  };
+  if (n_threads <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  return errs.load();
+}
+
+// Scaled-decode variant: scale_nums[i]/8 per image (0 = full decode). dims
+// reports the ACTUAL decoded size (the library may round a ratio up to the
+// nearest it supports — classic libjpeg only does 1/2/4/8 numerators), so
+// the caller builds its resize tables from dims, not from a prediction.
+int fvy_decode_jpeg_batch_scaled(const char** paths, int n, unsigned char* out,
+                                 int max_h, int max_w, int* dims,
+                                 int n_threads, const int* scale_nums) {
+  std::atomic<int> next(0);
+  std::atomic<int> errs(0);
+  auto work = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      unsigned char* base =
+          out + static_cast<size_t>(i) * max_h * max_w * 3;
+      int h = 0, w = 0;
+      if (decode_one(paths[i], base, max_h, max_w, &h, &w,
+                     scale_nums[i]) != 0) {
         errs.fetch_add(1);
       }
       dims[2 * i] = h;
