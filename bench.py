@@ -34,9 +34,15 @@ import time
 
 N_ITER = 10
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
-TRAIN_EPOCHS = 220     # held-out AP needs real training, not a 30-epoch sketch
-EPOCH_CHUNK = 110      # train in resumable chunks (kill-safe via the meta file)
-N_TRAIN, N_VAL = 256, 40
+# The round-1 recipe that generalizes AND stays precision-robust (AP50 0.80
+# held-out, bf16/int8 at parity). Smaller/shorter runs (256 imgs / 220
+# epochs) produce input-noise-brittle checkpoints that collapse EVERY reduced
+# precision (bf16 AP50 0.0017 vs f32 0.38; scripts/probe_bf16_bisect.py shows
+# head-logit MAE 0.44 from bf16 in conv_0/1 alone) — robustness comes from
+# the data scale, not the serving path.
+TRAIN_EPOCHS = 400
+EPOCH_CHUNK = 60       # train in resumable chunks (kill-safe via the meta file)
+N_TRAIN, N_VAL = 640, 160
 
 
 def ensure_trained_checkpoint():
@@ -170,9 +176,11 @@ def main():
         ]).astype(np.float32))
 
         ap["f32_ap50"], ap["f32_map"] = measure_ap(ckpt, valdir, "float32")
+        ap["bf16_ap50"], _ = measure_ap(ckpt, valdir, "bfloat16")
         ap["int8_ap50"], ap["int8_map"] = measure_ap(ckpt, valdir, "int8")
         ap["int8_ap50_drift"] = round(ap["int8_ap50"] - ap["f32_ap50"], 4)
-        print(f"# AP50 f32 {ap['f32_ap50']:.4f}  int8 {ap['int8_ap50']:.4f}  "
+        print(f"# AP50 f32 {ap['f32_ap50']:.4f}  bf16 {ap['bf16_ap50']:.4f}  "
+              f"int8 {ap['int8_ap50']:.4f}  "
               f"(drift {ap['int8_ap50_drift']:+.4f})", file=sys.stderr)
     except Exception as e:  # no-TPU/dev environments: fall back to random
         print(f"# trained-checkpoint path failed ({e!r}); "

@@ -69,6 +69,10 @@ class FdConf:
     # heavier clipping (99.9) destroys real range and collapses it again;
     # 99.99 restores AP50 parity (scripts/probe_precision_ap.py).
     int8_calib_percentile: float = 99.99
+    # Mixed-precision tail: keep the last N trunk residual blocks bf16 in the
+    # int8 serving path (0 = full int8). Trained checkpoints' late-layer
+    # outliers are the int8 AP gap (models/quant.py bf16_tail_blocks).
+    int8_bf16_tail: int = 0
     hps: FdHps = dataclasses.field(default_factory=FdHps)
     nn_arch: FdNNArch = dataclasses.field(default_factory=FdNNArch)
 
@@ -111,6 +115,9 @@ class FiConf:
     # biggest single tensor): devices arrange as a
     # (data = n/model_axis, model = model_axis) mesh.
     model_axis: int = 1
+    # "random" = reference-faithful uniform-random negatives; "semi_hard" =
+    # in-batch FaceNet semi-hard re-selection inside the jitted step.
+    negative_mining: str = "random"
     checkpoint_every: int = 0
     int8_calib_percentile: float = 99.99
     hps: FiHps = dataclasses.field(default_factory=FiHps)

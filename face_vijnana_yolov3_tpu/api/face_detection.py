@@ -130,6 +130,7 @@ class FaceDetectorPipeline:
             self.model.quantize(
                 folded, jnp.asarray(images[:16], jnp.float32),
                 percentile=percentile,
+                bf16_tail_blocks=getattr(self.conf, "int8_bf16_tail", 0),
             )
         )
         self._invalidate_jits()

@@ -215,6 +215,7 @@ class FaceIdentifierPipeline:
                 jnp.bfloat16 if self.precision == "bfloat16" else None
             ),
             checkpoint_every=getattr(self.conf, "checkpoint_every", 0),
+            mining=getattr(self.conf, "negative_mining", "random"),
         )
         self._embed_cache.clear()
         # Stale int8 calibration would otherwise keep serving pre-training

@@ -201,6 +201,27 @@ class TripletDataset:
             np.asarray(ng, np.float32),
         )
 
+    def batch_subject_codes(self, index: int, batch_size: int):
+        """(anchor_codes, negative_codes) int32 for one batch — integer codes
+        of subject_id (strings for vggface2), for in-batch semi-hard mining
+        (framework extension; the reference only has the uniform-random
+        negative, face_identification.py:1546)."""
+        if not hasattr(self, "_subject_codes"):
+            self._subject_codes = pd.factorize(self.db["subject_id"])[0]
+        n = len(self.img_triplet_pairs)
+        start = index * batch_size
+        stop = min(start + batch_size, n)
+        rows = self.img_triplet_pairs[start:stop]
+        # db rows carry positional indexes from construction; map via .index
+        pos = {idx: k for k, idx in enumerate(self.db.index)}
+        a = np.asarray(
+            [self._subject_codes[pos[r[0]]] for r in rows], np.int32
+        )
+        ng = np.asarray(
+            [self._subject_codes[pos[r[2]]] for r in rows], np.int32
+        )
+        return a, ng
+
 
 # ------------------------------------------------------------------ embedding DB
 

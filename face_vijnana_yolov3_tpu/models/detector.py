@@ -105,17 +105,22 @@ class FaceDetectorModel:
 
     # -------------------------------------------------------------- int8 serving
 
-    def quantize(self, folded, x_calib, *, percentile: float | None = None):
+    def quantize(self, folded, x_calib, *, percentile: float | None = None,
+                 bf16_tail_blocks: int = 0):
         """Calibrated int8 qparams from folded params (models/quant.py).
 
         TPU-native serving optimization (no reference counterpart): int8 MXU
         is 2x bf16 peak on v5e and int8 activations halve HBM traffic.
         percentile: optional outlier-robust activation calibration.
+        bf16_tail_blocks: keep the last N residual blocks in bf16 (mixed
+        tail — trained checkpoints' late-layer outliers are the int8 AP
+        gap, models/quant.py).
         """
         from face_vijnana_yolov3_tpu.models import quant
 
         return quant.quantize_folded(
-            folded, x_calib, self.ops, percentile=percentile
+            folded, x_calib, self.ops, percentile=percentile,
+            bf16_tail_blocks=bf16_tail_blocks,
         )
 
     def apply_quant(self, qparams, x, *, head_dtype=jnp.bfloat16):

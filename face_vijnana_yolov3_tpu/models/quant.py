@@ -125,8 +125,26 @@ def _position_channels(ops: list[tuple], in_c: int) -> list[int]:
     return sizes
 
 
+def tail_start_index(ops: list[tuple], n_blocks: int) -> int:
+    """Op index where the last `n_blocks` residual blocks begin.
+
+    Only valid for linear trunk-like graphs: the boundary sits at a
+    ("save", ...) block opener, so no skip bookkeeping crosses it. Raises for
+    graphs with cross-boundary routes (the 3-head COCO graph).
+    """
+    # "mark" is fine (trunk marks skip_36/61 for the full graph but never
+    # consumes them); restore/concat route across blocks (the COCO heads).
+    if any(op[0] in ("restore", "concat") for op in ops):
+        raise ValueError("bf16 tail requires a linear trunk graph")
+    starts = [i for i, op in enumerate(ops) if op[0] == "save"]
+    if n_blocks <= 0 or n_blocks > len(starts):
+        raise ValueError(f"n_blocks must be in 1..{len(starts)}")
+    return starts[-n_blocks]
+
+
 def quantize_folded(
-    folded_params, x_calib, ops: list[tuple], *, percentile: float | None = None
+    folded_params, x_calib, ops: list[tuple], *,
+    percentile: float | None = None, bf16_tail_blocks: int = 0,
 ) -> dict[str, Any]:
     """folded f32 params + calibration batch -> int8 qparams pytree.
 
@@ -135,16 +153,36 @@ def quantize_folded(
                    "w_scale": (out,) f32, "bias": f32}
       "act_scales": list of np (C,) vectors (len(ops)+1, see calibrate_folded)
       "head": untouched f32 head conv (kernel/bias) if present
+      "tail_start"/"tail": (with bf16_tail_blocks > 0) op index where int8
+        stops and the folded-bf16 params that run the remaining ops
 
     percentile: optional outlier-robust activation calibration
     (see calibrate_folded).
+
+    bf16_tail_blocks: keep the LAST N residual blocks (plus anything after
+    them) in folded bf16 instead of int8 — the mixed-precision-tail scheme
+    for trained checkpoints whose late residual-stream outliers stretch the
+    int8 grid (box-regression channels are the quantization-sensitive ones;
+    STATUS.md int8 gap).
     """
     scales = calibrate_folded(folded_params, x_calib, ops, percentile=percentile)
+    tail_start = (
+        tail_start_index(ops, bf16_tail_blocks) if bf16_tail_blocks else None
+    )
     # One bulk device->host pull; per-conv np.asarray would be ~150 transfers.
     folded_host = jax.device_get(folded_params)
     qparams: dict[str, Any] = {"act_scales": scales}
+    if tail_start is not None:
+        qparams["tail_start"] = tail_start
+        tail = {}
+        for op in ops[tail_start:]:
+            if op[0] == "conv":
+                tail[f"conv_{op[1]}"] = folded_host[f"conv_{op[1]}"]
+        qparams["tail"] = tail
     cur = 0  # scales index of the running activation (= conv input position)
     for i, op in enumerate(ops):
+        if tail_start is not None and i >= tail_start:
+            break
         if op[0] != "conv":
             # Calibration records the post-op activation at every position —
             # including save/restore/add — so the running index just advances.
@@ -206,7 +244,29 @@ def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = Tru
     nonlinear, so XLA cannot elide the int8 round-trip it was handed). Fused
     this way the add rounds once instead of twice, so it is also slightly MORE
     accurate.
+
+    With qparams["tail_start"] set (quantize_folded bf16_tail_blocks), the
+    int8 walk stops there, dequantizes once, and the remaining ops run as
+    folded bf16 (apply_graph_folded) — mixed-precision tail.
     """
+    tail_start = qparams.get("tail_start")
+    if tail_start is not None:
+        from face_vijnana_yolov3_tpu.models.darknet import apply_graph_folded
+
+        head_outs = apply_graph_quant(
+            {**{k: v for k, v in qparams.items()
+                if k not in ("tail_start", "tail")},
+             },
+            x,
+            list(ops[:tail_start]) + [("output", "__cut")],
+            fuse_residual=fuse_residual,
+        )
+        h = head_outs.pop("__cut")
+        tail_outs = apply_graph_folded(
+            qparams["tail"], h, list(ops[tail_start:]),
+            compute_dtype=jnp.bfloat16,
+        )
+        return {**head_outs, **tail_outs}
     scales = qparams["act_scales"]
     saved: dict[str, tuple[jnp.ndarray, np.ndarray]] = {}
     outputs: dict[str, jnp.ndarray] = {}

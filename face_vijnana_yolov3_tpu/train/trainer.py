@@ -292,6 +292,7 @@ def train_identifier(
     compute_dtype=None,
     checkpoint_every: int = 0,
     device_data: bool | None = None,
+    mining: str = "random",
 ):
     """Train the triplet embedder; returns (params, state, losses).
 
@@ -302,6 +303,15 @@ def train_identifier(
     checkpoint_every / device_data: as in train_detector (device_data stacks
     the a/p/n crop arrays in HBM and scans epochs; auto-on under
     FVY_DEVICE_DATA_BUDGET — triplet sets are 3x image bytes).
+
+    mining: "random" (default) keeps the reference's uniform-random negative
+    exactly as sampled by TripletDataset (face_identification.py:1546).
+    "semi_hard" re-selects each anchor's negative INSIDE the jitted step from
+    the whole 3B-embedding in-batch pool (FaceNet semi-hard rule:
+    d_ap < d_an < d_ap + α, deterministic closest-such; falls back to the
+    closest harder-than-positive, then the globally closest valid) — a
+    fixed-shape masked argmin over the batch distance matrix, so it costs
+    one (B, 3B) matrix on device and no host work.
     """
     if mesh is None:
         mesh = mesh_lib.make_mesh()
@@ -333,7 +343,10 @@ def train_identifier(
 
     dtype = compute_dtype if compute_dtype is not None else jax.numpy.float32
 
-    def step_fn(params, state, opt_state, a, p, n, weights):
+    jnp = jax.numpy
+
+    def step_fn(params, state, opt_state, a, p, n, weights,
+                sid_a=None, sid_n=None):
         def loss_fn(prm):
             # remat: triplet batches stack 3x images through the 40M-param
             # trunk — checkpointing residual blocks keeps HBM flat.
@@ -343,10 +356,37 @@ def train_identifier(
             )
             d = model.dense1_dim
             ea, ep, en = out[:, :d], out[:, d : 2 * d], out[:, 2 * d :]
-            d_ap = jax.numpy.sqrt(jax.numpy.sum((ea - ep) ** 2, axis=-1))
-            d_an = jax.numpy.sqrt(jax.numpy.sum((ea - en) ** 2, axis=-1))
-            per = jax.numpy.maximum(d_ap - d_an + 0.2, 0.0)
-            loss = jax.numpy.sum(per * weights) / jax.numpy.sum(weights)
+            d_ap = jnp.sqrt(jnp.sum((ea - ep) ** 2, axis=-1))
+            if mining == "semi_hard":
+                b = ea.shape[0]
+                pool = jnp.concatenate([ea, ep, en], axis=0)        # (3B, D)
+                pool_sid = jnp.concatenate([sid_a, sid_a, sid_n])   # (3B,)
+                pool_w = jnp.concatenate([weights] * 3)
+                d_all = jnp.sqrt(jnp.maximum(
+                    jnp.sum((ea[:, None] - pool[None]) ** 2, axis=-1), 1e-12
+                ))                                                  # (B, 3B)
+                valid = (pool_sid[None, :] != sid_a[:, None]) & (
+                    pool_w[None, :] > 0.0
+                )
+                inf = jnp.float32(1e9)
+                harder = valid & (d_all > d_ap[:, None])
+                semi = harder & (d_all < d_ap[:, None] + 0.2)
+                cand = jnp.where(
+                    semi.any(-1)[:, None],
+                    jnp.where(semi, d_all, inf),
+                    jnp.where(
+                        harder.any(-1)[:, None],
+                        jnp.where(harder, d_all, inf),
+                        jnp.where(valid, d_all, inf),
+                    ),
+                )
+                j = jnp.argmin(cand, axis=-1)
+                en_sel = pool[j]
+                d_an = jnp.sqrt(jnp.sum((ea - en_sel) ** 2, axis=-1))
+            else:
+                d_an = jnp.sqrt(jnp.sum((ea - en) ** 2, axis=-1))
+            per = jnp.maximum(d_ap - d_an + 0.2, 0.0)
+            loss = jnp.sum(per * weights) / jnp.sum(weights)
             return loss, new_state
 
         (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -355,13 +395,20 @@ def train_identifier(
         return new_params, new_state, new_opt_state, loss
 
     def make_batch(i):
-        a, p, n, w = _pad_batch(
-            triplet_dataset.batch(i, batch_size), batch_size, n_dev
-        )
+        arrays = triplet_dataset.batch(i, batch_size)
+        if mining == "semi_hard":
+            sa, sn = triplet_dataset.batch_subject_codes(i, batch_size)
+            a, p, n, sa, sn, w = _pad_batch(
+                (*arrays, sa, sn), batch_size, n_dev
+            )
+        else:
+            a, p, n, w = _pad_batch(arrays, batch_size, n_dev)
         if dtype == jax.numpy.bfloat16:
             # See train_detector: bf16 upload is transparent to the bf16
             # forward and halves the (3x-stacked) host->device bytes.
             a, p, n = (x.astype(ml_dtypes.bfloat16) for x in (a, p, n))
+        if mining == "semi_hard":
+            return a, p, n, w, sa, sn
         return a, p, n, w
 
     if device_data is None:
@@ -377,17 +424,18 @@ def train_identifier(
         nu=mesh_lib.put_tree(opt_state.nu, opt_spec.nu),
     )
 
+    n_feeds = 6 if mining == "semi_hard" else 4
     losses = []
     if device_data:
         stacked = [make_batch(i) for i in range(steps)]
         data_stacked = mesh_lib.stacked_batch_sharded(mesh)
         dev = tuple(
             jax.device_put(np.stack([s[j] for s in stacked]), data_stacked)
-            for j in range(4)
+            for j in range(n_feeds)
         )
         del stacked
 
-        def epoch_fn(params, state, opt_state, a, p, n, w):
+        def epoch_fn(params, state, opt_state, *feeds):
             def body(carry, xs):
                 params, state, opt_state = carry
                 params, state, opt_state, loss = step_fn(
@@ -396,20 +444,20 @@ def train_identifier(
                 return (params, state, opt_state), loss
 
             (params, state, opt_state), ep_losses = jax.lax.scan(
-                body, (params, state, opt_state), (a, p, n, w)
+                body, (params, state, opt_state), feeds
             )
             return params, state, opt_state, ep_losses
 
         jit_epoch = jax.jit(
             epoch_fn,
-            in_shardings=(pspec, repl, opt_spec) + (data_stacked,) * 4,
+            in_shardings=(pspec, repl, opt_spec) + (data_stacked,) * n_feeds,
             out_shardings=(pspec, repl, opt_spec, repl),
             donate_argnums=(0, 1, 2),
         )
     else:
         jit_step = jax.jit(
             step_fn,
-            in_shardings=(pspec, repl, opt_spec, data, data, data, data),
+            in_shardings=(pspec, repl, opt_spec) + (data,) * n_feeds,
             out_shardings=(pspec, repl, opt_spec, repl),
             donate_argnums=(0, 1, 2),
         )
@@ -421,9 +469,9 @@ def train_identifier(
             )
             losses.extend(np.asarray(ep_losses))
         else:
-            for a, p, n, w in prefetch_batches(make_batch, steps):
+            for feeds in prefetch_batches(make_batch, steps):
                 params, state, opt_state, loss = jit_step(
-                    params, state, opt_state, a, p, n, w
+                    params, state, opt_state, *feeds
                 )
                 losses.append(loss)
         print(f"identifier epoch {epoch + 1}: loss {float(losses[-1]):.6f}")

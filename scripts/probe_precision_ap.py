@@ -30,9 +30,15 @@ def main():
 
     valdir = os.path.join(workdir, "valset")
     pcts = [float(a) for a in sys.argv[2:]] or [0.0, 99.99, 99.9, 99.5]
-    for precision, pct in ([("float32", 0.0), ("bfloat16", 0.0)]
-                           + [("int8", p) for p in pcts]):
+    rows = ([("float32", 0.0, 0), ("bfloat16", 0.0, 0)]
+            + [("int8", p, 0) for p in pcts]
+            # mixed bf16 tail (models/quant.py bf16_tail_blocks) at the
+            # default percentile
+            + [("int8", 99.99, t) for t in (1, 2, 4)])
+    for precision, pct, tail in rows:
         tag = precision if not pct else f"{precision}-p{pct}"
+        if tail:
+            tag += f"-tail{tail}"
         sol = os.path.join(workdir, f"solution_fd_{tag}.csv")
         conf = FdConf(
             test_path=valdir,
@@ -43,6 +49,7 @@ def main():
         )
         conf.hps.face_conf_th = 0.5
         conf.int8_calib_percentile = pct
+        conf.int8_bf16_tail = tail
         fd = FaceDetectorPipeline(conf, precision=precision)
         fd.test()  # CSV only, no drawing
         if os.path.getsize(sol) == 0:

@@ -122,6 +122,7 @@ def main():
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fvy_synth_fi"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     n_subjects = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+    mining = sys.argv[4] if len(sys.argv) > 4 else "random"
 
     from face_vijnana_yolov3_tpu.utils.runtime import enable_compile_cache
 
@@ -149,6 +150,7 @@ def main():
     conf.fi_conf.hps.lr = 1e-4
     conf.fi_conf.hps.epochs = epochs
     conf.fi_conf.hps.batch_size = 24
+    conf.fi_conf.negative_mining = mining
     conf.fd_conf.weights_path = "missing.weights"
 
     fi = FaceIdentifierPipeline(conf, precision="bfloat16")

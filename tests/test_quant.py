@@ -175,9 +175,9 @@ def test_pipeline_int8_calibration_percentile_plumbing(tmp_path):
     fd = FaceDetectorPipeline(conf, precision="int8")
     orig = fd.model.quantize
 
-    def spy(folded, x_calib, *, percentile=None):
+    def spy(folded, x_calib, *, percentile=None, **kw):
         seen["percentile"] = percentile
-        return orig(folded, x_calib, percentile=percentile)
+        return orig(folded, x_calib, percentile=percentile, **kw)
 
     fd.model.quantize = spy
     x = np.random.default_rng(1).uniform(0, 1, (2, 96, 96, 3)).astype(np.float32)
@@ -189,3 +189,44 @@ def test_pipeline_int8_calibration_percentile_plumbing(tmp_path):
     fd2.model.quantize = spy
     fd2.detect_batch(x)
     assert seen["percentile"] is None
+
+
+def test_bf16_tail_mixed_precision():
+    """quantize_folded(bf16_tail_blocks=N): the last N residual blocks run
+    folded-bf16; outputs at least as close to f32 as full int8, boundary at a
+    block opener, COCO graph rejected."""
+    import pytest as _pytest
+
+    from face_vijnana_yolov3_tpu.models import darknet, quant
+    from face_vijnana_yolov3_tpu.models.detector import FaceDetectorModel
+
+    model = FaceDetectorModel(image_size=64)
+    params, state = model.init(jax.random.PRNGKey(0))
+    # make BN stats/params non-trivial so folding isn't identity
+    rng = np.random.default_rng(0)
+    for k in list(state):
+        c = state[k]["mean"].shape[0]
+        state[k] = {"mean": rng.normal(0, 0.2, c).astype(np.float32),
+                    "var": rng.uniform(0.6, 1.4, c).astype(np.float32)}
+    folded = model.fold(params, state)
+    folded["head"] = params["head"]
+    x = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+
+    want = np.asarray(model.apply_folded(folded, x, compute_dtype=jnp.float32))
+    q_full = model.quantize(folded, x)
+    got_full = np.asarray(model.apply_quant(q_full, x))
+    q_tail = model.quantize(folded, x, bf16_tail_blocks=2)
+    got_tail = np.asarray(model.apply_quant(q_tail, x))
+
+    assert "tail_start" in q_tail and q_tail["tail_start"] < len(model.ops)
+    # boundary is a block opener
+    assert model.ops[q_tail["tail_start"]][0] == "save"
+    # the tail convs are NOT in the int8 param set
+    tail_convs = {k for k in q_tail["tail"]}
+    assert tail_convs and all(k not in q_tail for k in tail_convs)
+    err_full = np.abs(got_full - want).mean()
+    err_tail = np.abs(got_tail - want).mean()
+    assert err_tail <= err_full * 1.05  # tail never hurts
+
+    with _pytest.raises(ValueError):
+        quant.tail_start_index(darknet.yolov3_graph(), 1)
