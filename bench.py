@@ -85,7 +85,8 @@ def ensure_trained_checkpoint():
         conf.hps.epochs = max(n_epochs, 1)
         conf.hps.batch_size = 16
         conf.checkpoint_every = 20
-        conf.dataset_cache = "samples"
+        conf.dataset_cache = "disk"  # npz stack next to the CSV: repeat
+        # invocations skip the ~8-min single-core JPEG decode entirely
         if checkpoint_exists(ckpt):
             conf.model_loading = True
         t0 = time.time()

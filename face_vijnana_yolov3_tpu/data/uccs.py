@@ -108,7 +108,10 @@ class DetectionDataset:
         """cache: "none" re-decodes every epoch (reference Sequence behavior);
         "samples" keeps each letterboxed image + GT tensor in host RAM after
         first assembly (bit-exact reuse — multi-epoch training on a 1-core
-        host is otherwise JPEG-decode bound; ~2 MB/image at 416²)."""
+        host is otherwise JPEG-decode bound; ~2 MB/image at 416²);
+        "disk" additionally persists the assembled f32 stack as an .npz next
+        to the CSV, so REPEAT RUNS skip the decode entirely (bit-exact:
+        stored at full f32)."""
         self.raw_data_path = raw_data_path
         self.image_size = image_size
         self.grid = grid
@@ -116,11 +119,36 @@ class DetectionDataset:
         self.gt_df = load_gt_frame(os.path.join(raw_data_path, csv_name))
         self.groups = group_by_file(self.gt_df)
         self.file_names = list(self.groups.groups.keys())
-        if cache not in ("none", "samples"):
+        if cache not in ("none", "samples", "disk"):
             raise ValueError(f"unknown cache mode {cache!r}")
         self._sample_cache: dict[int, tuple] | None = (
-            {} if cache == "samples" else None
+            {} if cache in ("samples", "disk") else None
         )
+        self._stack = None
+        if cache == "disk":
+            path = os.path.join(
+                raw_data_path, f"{csv_name}.samples_{image_size}.npz"
+            )
+            if os.path.exists(path):
+                data = np.load(path, mmap_mode=None)
+                if data["images"].shape[0] == len(self.file_names):
+                    self._stack = (data["images"], data["gts"])
+                    self._sample_cache = None
+            if self._stack is None:
+                self._sample_cache = None  # the stack supersedes it
+                images = []
+                gts = []
+                for i in range(len(self.file_names)):
+                    img, gt = self.sample(i)
+                    images.append(np.asarray(img, np.float32))
+                    gts.append(np.asarray(gt, np.float32))
+                images = np.stack(images)
+                gts = np.stack(gts)
+                tmp = path + ".tmp.npz"
+                np.savez(tmp, images=images, gts=gts)
+                os.replace(tmp, path)
+                self._stack = (images, gts)
+                self._sample_cache = None
 
     def __len__(self) -> int:
         return len(self.file_names)
@@ -134,6 +162,8 @@ class DetectionDataset:
         from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_host
         from face_vijnana_yolov3_tpu.utils.io import imread
 
+        if self._stack is not None:
+            return self._stack[0][index], self._stack[1][index]
         if self._sample_cache is not None and index in self._sample_cache:
             return self._sample_cache[index]
         file_name = self.file_names[index]

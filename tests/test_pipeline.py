@@ -304,6 +304,24 @@ def test_detection_dataset_sample_cache(tmp_path):
     with pytest.raises(ValueError):
         DetectionDataset(str(tmp_path), cache="bogus")
 
+    # cache='disk': identical batches, persisted npz, reloaded without decode
+    disk = DetectionDataset(str(tmp_path), image_size=64, grid=2,
+                            cache="disk")
+    im3, gt3 = disk.batch(0, 3)
+    np.testing.assert_array_equal(im0, im3)
+    np.testing.assert_array_equal(gt0, gt3)
+    npz = tmp_path / "training.csv.samples_64.npz"
+    assert npz.exists()
+    # second construction must load the stack, not re-decode: poison the
+    # images on disk and verify the served pixels are still the originals
+    for i in range(3):
+        imsave(str(tmp_path / f"f{i}.jpg"), np.zeros((60, 80, 3), np.uint8))
+    disk2 = DetectionDataset(str(tmp_path), image_size=64, grid=2,
+                             cache="disk")
+    im4, gt4 = disk2.batch(0, 3)
+    np.testing.assert_array_equal(im0, im4)
+    np.testing.assert_array_equal(gt0, gt4)
+
 
 def test_boundbox_compat_record():
     from face_vijnana_yolov3_tpu.ops.boxes import BoundBox
