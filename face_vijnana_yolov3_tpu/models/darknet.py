@@ -312,8 +312,19 @@ def apply_graph(
                 bp = params[f"bnorm_{idx}"]
                 bs = state[f"bnorm_{idx}"]
                 if train:
-                    mean = jnp.mean(h, axis=(0, 1, 2))
-                    var = jnp.var(h, axis=(0, 1, 2))
+                    # One-pass batch stats, var = E[x²]−E[x]² (the fused
+                    # batch-norm formulation TF itself lowers to). Both
+                    # reductions depend only on h, so XLA's sibling
+                    # multi-output reduction fusion reads the activation once;
+                    # the sequential mean→jnp.var form forces a SECOND full
+                    # HBM pass per layer (BN reductions were 21% of the b128
+                    # train step, PROFILE.md). Stats accumulate in f32 even on
+                    # the bf16 path (jnp.var on bf16 reduced at bf16 before).
+                    hf = h.astype(jnp.float32)
+                    mean = jnp.mean(hf, axis=(0, 1, 2))
+                    var = jnp.maximum(
+                        jnp.mean(hf * hf, axis=(0, 1, 2)) - mean * mean, 0.0
+                    )
                     mom = BN_MOMENTUM if bn_momentum is None else bn_momentum
                     new_state[f"bnorm_{idx}"] = {
                         "mean": bs["mean"] * mom + mean * (1 - mom),

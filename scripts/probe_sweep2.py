@@ -89,7 +89,10 @@ def train_sweep():
         new_p = optax.apply_updates(p, updates)
         return new_p, new_s, new_o, loss
 
-    for batch in (128, 192, 256):
+    batches = (
+        tuple(int(b) for b in sys.argv[2:]) if len(sys.argv) > 2 else (128, 192, 256)
+    )
+    for batch in batches:
         images = np.random.rand(batch, 416, 416, 3).astype(np.float32)
         gts = np.random.rand(batch, 13, 13, 6).astype(np.float32)
         images_d, gts_d = jax.device_put((images, gts))
