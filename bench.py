@@ -198,7 +198,11 @@ def main():
     qparams = jax.device_put(model.quantize(folded, x_calib))
 
     def step_bf16(w, images):
-        head = model.apply_folded(w, images, compute_dtype=jnp.bfloat16)
+        # f32_front_blocks=2 is the serving default (FdConf.bf16_f32_front):
+        # throughput and the AP measured above are the same configuration.
+        head = model.apply_folded(
+            w, images, compute_dtype=jnp.bfloat16, f32_front_blocks=2
+        )
         return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
 
     def step_int8(w, images):

@@ -73,6 +73,14 @@ class FdConf:
     # int8 serving path (0 = full int8). Trained checkpoints' late-layer
     # outliers are the int8 AP gap (models/quant.py bf16_tail_blocks).
     int8_bf16_tail: int = 0
+    # bf16 serving: run the first N trunk segments (1 = conv_0/1, 2 = + first
+    # residual block) in f32. Trained checkpoints amplify bf16 input rounding
+    # in exactly those layers on rare images (degenerate ~1.0-score boxes,
+    # AP50 0.79->0.45 on the bench checkpoint); N=2 restores AP50 to 0.783
+    # at ~30% bf16 throughput cost — bf16 is the no-calibration fallback,
+    # accuracy wins; int8 (the headline path) is unaffected
+    # (scripts/probe_bf16_degen.py, models/darknet.py).
+    bf16_f32_front: int = 2
     hps: FdHps = dataclasses.field(default_factory=FdHps)
     nn_arch: FdNNArch = dataclasses.field(default_factory=FdNNArch)
 
@@ -120,6 +128,9 @@ class FiConf:
     negative_mining: str = "random"
     checkpoint_every: int = 0
     int8_calib_percentile: float = 99.99
+    # Same trunk f32-front guard as FdConf.bf16_f32_front, for the bf16
+    # folded embed path (models/identifier.embed_folded).
+    bf16_f32_front: int = 2
     hps: FiHps = dataclasses.field(default_factory=FiHps)
     nn_arch: FiNNArch = dataclasses.field(default_factory=FiNNArch)
 

@@ -158,10 +158,12 @@ class FaceDetectorPipeline:
             self._jit_detect = jax.jit(detect)
         elif self.precision == "bfloat16":
             folded = self.model.fold(self.params, self.state)
+            front = getattr(self.conf, "bf16_f32_front", 2)
 
             def detect(images):
                 head = self.model.apply_folded(
-                    folded, images, compute_dtype=jnp.bfloat16
+                    folded, images, compute_dtype=jnp.bfloat16,
+                    f32_front_blocks=front,
                 )
                 return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
 

@@ -118,16 +118,29 @@ class FaceIdentifierPipeline:
                 def run(images):
                     return self.model.embed_quant(qparams, images)
 
+            elif self.precision == "bfloat16":
+                # Folded serving fast path, with the f32 front guard: the
+                # trained trunk amplifies bf16 rounding of conv_0/1 on rare
+                # crops, rotating the L2-normalized embedding
+                # (models/identifier.embed_folded docstring).
+                folded = self.model.fold(self.params, self.state)
+                front = getattr(self.conf, "bf16_f32_front", 2)
+
+                @jax.jit
+                def run(images):
+                    return self.model.embed_folded(
+                        folded, images, compute_dtype=jnp.bfloat16,
+                        f32_front_blocks=front,
+                    )
+
             else:
                 params, state = self.params, self.state
-                dtype = (
-                    jnp.bfloat16 if self.precision == "bfloat16" else jnp.float32
-                )
 
                 @jax.jit
                 def run(images):
                     emb, _ = self.model.embed(
-                        params, state, images, train=False, compute_dtype=dtype
+                        params, state, images, train=False,
+                        compute_dtype=jnp.float32,
                     )
                     return emb
 

@@ -195,7 +195,7 @@ def init_graph_params(ops: list[tuple], rng: jax.Array | None = None):
 
 # ------------------------------------------------------------------ forward
 
-def _conv2d(x, kernel, stride, k, compute_dtype):
+def _conv2d(x, kernel, stride, k, compute_dtype, precision_override=None):
     if k > 1:
         pad = ((1, 1), (1, 1))
     else:
@@ -205,8 +205,11 @@ def _conv2d(x, kernel, stride, k, compute_dtype):
     # path keeps the default single-pass MXU lowering and a bf16 output —
     # requesting an f32 preferred_element_type there breaks the conv transpose
     # (autodiff) with mixed-dtype operands; MXU accumulation is f32 regardless.
+    # precision_override: the serving f32-front guard uses HIGH (bf16x3,
+    # operand error ~2^-21) — half the MXU passes of HIGHEST for the same
+    # input-noise protection the guard needs.
     if compute_dtype == jnp.float32:
-        precision = jax.lax.Precision.HIGHEST
+        precision = precision_override or jax.lax.Precision.HIGHEST
         preferred = jnp.float32
     else:
         precision = jax.lax.Precision.DEFAULT
@@ -381,27 +384,62 @@ def fold_graph_params(params, state, ops: list[tuple]):
     return folded
 
 
+def front_end_index(ops: list[tuple], n_blocks: int) -> int:
+    """Op index where reduced precision may begin when the FIRST `n_blocks`
+    graph segments run f32.
+
+    Segment 1 = the pre-residual front pair (conv_0/conv_1 — everything
+    before the first ("save", ...) block opener); each further segment adds
+    one residual block. Counterpart of quant.tail_start_index: boundaries sit
+    at block openers so no skip bookkeeping crosses them.
+    """
+    starts = [i for i, op in enumerate(ops) if op[0] == "save"]
+    if n_blocks <= 0 or n_blocks > len(starts):
+        raise ValueError(f"n_blocks must be in 1..{len(starts)}")
+    return starts[n_blocks - 1]
+
+
 def apply_graph_folded(
-    folded_params, x, ops: list[tuple], *, compute_dtype=jnp.bfloat16
+    folded_params, x, ops: list[tuple], *, compute_dtype=jnp.bfloat16,
+    f32_front_ops: int = 0,
 ):
     """Inference forward with conv+BN folded; bf16 inputs/weights, f32 accumulation.
 
     This is the bench/serving path: every conv is a single MXU op with a fused
     bias + leaky epilogue, no BN normalization traffic.
+
+    f32_front_ops: run ops[:N] in strict f32 regardless of compute_dtype.
+    Trained checkpoints are input-noise-sensitive in the FIRST two convs on
+    specific images: on the bench 400-epoch checkpoint a full-bf16 trunk
+    amplifies head logits 2-4x on ~3/160 val images (degenerate ~1.0-score
+    boxes, AP50 0.79→0.45) while f32 through the first residual block
+    restores head MAE to noise level (scripts/probe_bf16_degen.py,
+    scripts/probe_bf16_bisect.py: bf16 conv_0/1 alone = 30 threshold flips,
+    f32 front t=7 = 2 flips). Cost is small — the front pair is ~13% of
+    serving time and bandwidth-bound.
     """
     saved: dict[str, jnp.ndarray] = {}
     outputs: dict[str, jnp.ndarray] = {}
     h = x
-    for op in ops:
+    for i, op in enumerate(ops):
         kind = op[0]
+        in_front = i < f32_front_ops
+        op_dtype = jnp.float32 if in_front else compute_dtype
         if kind == "conv":
             _, idx, _out_c, k, stride, _bn, leaky = op
             p = folded_params[f"conv_{idx}"]
-            h = _conv2d(h, p["kernel"], stride, k, compute_dtype)
+            h = _conv2d(
+                h, p["kernel"], stride, k, op_dtype,
+                # Guard convs only need operand-rounding protection, not
+                # bit-f32: HIGH = bf16x3 halves the pass count vs HIGHEST.
+                precision_override=(
+                    jax.lax.Precision.HIGH if in_front else None
+                ),
+            )
             h = h + p["bias"]
             if leaky:
                 h = jnp.where(h > 0, h, LEAKY_ALPHA * h)
-            h = h.astype(compute_dtype)
+            h = h.astype(op_dtype)
         elif kind in ("save", "mark"):
             saved[op[1]] = h
         elif kind == "add":

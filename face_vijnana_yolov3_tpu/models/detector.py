@@ -96,9 +96,19 @@ class FaceDetectorModel:
         folded["head"] = params["head"]
         return folded
 
-    def apply_folded(self, folded, x, *, compute_dtype=jnp.bfloat16):
+    def apply_folded(self, folded, x, *, compute_dtype=jnp.bfloat16,
+                     f32_front_blocks: int = 0):
+        """f32_front_blocks: keep the first N graph segments (1 = conv_0/1
+        front pair, 2 = + first residual block) in strict f32 — the bf16
+        trunk's input-noise sensitivity lives there (darknet.apply_graph_folded
+        docstring; scripts/probe_bf16_degen.py)."""
+        front = (
+            darknet.front_end_index(self.ops, f32_front_blocks)
+            if f32_front_blocks else 0
+        )
         outs = darknet.apply_graph_folded(
-            folded, x, self.ops, compute_dtype=compute_dtype
+            folded, x, self.ops, compute_dtype=compute_dtype,
+            f32_front_ops=front,
         )
         feat = outs["trunk"].astype(compute_dtype)
         return _head_conv(feat, folded["head"], compute_dtype)

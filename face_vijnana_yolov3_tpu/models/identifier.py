@@ -112,9 +112,19 @@ class FaceIdentifierModel:
                                     L2_NORM_EPS))
         return h / norm
 
-    def embed_folded(self, folded, x, *, compute_dtype=jnp.bfloat16):
+    def embed_folded(self, folded, x, *, compute_dtype=jnp.bfloat16,
+                     f32_front_blocks: int = 0):
+        """f32_front_blocks: same trunk input-noise guard as the detector's
+        bf16 serving path (darknet.apply_graph_folded docstring) — trained
+        trunks amplify bf16 rounding of conv_0/1 on rare inputs, which here
+        rotates the L2-normalized embedding."""
+        front = (
+            darknet.front_end_index(self.ops, f32_front_blocks)
+            if f32_front_blocks else 0
+        )
         outs = darknet.apply_graph_folded(
-            folded, x, self.ops, compute_dtype=compute_dtype
+            folded, x, self.ops, compute_dtype=compute_dtype,
+            f32_front_ops=front,
         )
         return self._dense_l2norm(folded["dense1"], outs["trunk"], compute_dtype)
 

@@ -8,7 +8,12 @@ one dtype and ops[t:] in the other, measure head-logit error and
 score-threshold flips vs the f32 reference, for boundaries at every residual
 block opener.
 
-Usage: python scripts/probe_bf16_bisect.py [workdir=.bench_cache]
+Usage: python scripts/probe_bf16_bisect.py [workdir=.bench_cache] [img ...]
+
+Extra args select specific valset images (default: first 8 sorted). Round-2
+finding (scripts/probe_bf16_degen.py): bf16-trunk amplification is
+INPUT-specific — the first-8 images are tame on the 400-epoch checkpoint
+while val_55/val_23/val_31 blow up 2-4x; bisect those by name.
 """
 
 import glob
@@ -44,7 +49,11 @@ def main():
     folded["head"] = params["head"]
     folded = jax.device_put(folded)
 
-    files = sorted(glob.glob(os.path.join(workdir, "valset", "*.jpg")))[:8]
+    if len(sys.argv) > 2:
+        files = [os.path.join(workdir, "valset", n + ".jpg")
+                 for n in sys.argv[2:]]
+    else:
+        files = sorted(glob.glob(os.path.join(workdir, "valset", "*.jpg")))[:8]
     x = jnp.asarray(np.stack([
         letterbox_host(imread(f) / 255.0, 416, "cubic")[0] for f in files
     ]).astype(np.float32))

@@ -30,15 +30,22 @@ def main():
 
     valdir = os.path.join(workdir, "valset")
     pcts = [float(a) for a in sys.argv[2:]] or [0.0, 99.99, 99.9, 99.5]
-    rows = ([("float32", 0.0, 0), ("bfloat16", 0.0, 0)]
-            + [("int8", p, 0) for p in pcts]
+    # rows: (precision, int8 percentile, int8 bf16-tail, bf16 f32-front)
+    rows = ([("float32", 0.0, 0, 0)]
+            # bf16 f32-front sweep (FdConf.bf16_f32_front; default 2):
+            # front=0 is the round-1 all-bf16 trunk that collapses on rare
+            # images (scripts/probe_bf16_degen.py)
+            + [("bfloat16", 0.0, 0, f) for f in (0, 1, 2)]
+            + [("int8", p, 0, 0) for p in pcts]
             # mixed bf16 tail (models/quant.py bf16_tail_blocks) at the
             # default percentile
-            + [("int8", 99.99, t) for t in (1, 2, 4)])
-    for precision, pct, tail in rows:
+            + [("int8", 99.99, t, 0) for t in (1, 2, 4)])
+    for precision, pct, tail, front in rows:
         tag = precision if not pct else f"{precision}-p{pct}"
         if tail:
             tag += f"-tail{tail}"
+        if precision == "bfloat16":
+            tag += f"-front{front}"
         sol = os.path.join(workdir, f"solution_fd_{tag}.csv")
         conf = FdConf(
             test_path=valdir,
@@ -50,6 +57,7 @@ def main():
         conf.hps.face_conf_th = 0.5
         conf.int8_calib_percentile = pct
         conf.int8_bf16_tail = tail
+        conf.bf16_f32_front = front
         fd = FaceDetectorPipeline(conf, precision=precision)
         fd.test()  # CSV only, no drawing
         if os.path.getsize(sol) == 0:

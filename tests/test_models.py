@@ -83,6 +83,71 @@ def test_fold_parity_inference():
     assert np.max(np.abs(a - b) / scale) < 1e-4
 
 
+def test_f32_front_blocks_serving_hybrid():
+    """f32_front_blocks: boundary indexing + numeric containment.
+
+    The bf16 serving path keeps the first trunk segments in f32 because
+    trained checkpoints amplify bf16 rounding of conv_0/1 on rare inputs
+    (AP50 0.79->0.45; scripts/probe_bf16_degen.py). Checks: (a) the boundary
+    lands on block openers, (b) front=ALL blocks in bf16-mode equals the
+    strict-f32 folded forward except the (bf16) head-input cast, (c) a
+    partial front matches a manually composed two-segment program.
+    """
+    from face_vijnana_yolov3_tpu.models.detector import FaceDetectorModel
+
+    model = FaceDetectorModel(image_size=64)
+    ops = model.ops
+    starts = [i for i, op in enumerate(ops) if op[0] == "save"]
+    assert darknet.front_end_index(ops, 1) == starts[0]
+    assert darknet.front_end_index(ops, 2) == starts[1]
+    import pytest
+
+    with pytest.raises(ValueError):
+        darknet.front_end_index(ops, 0)
+    with pytest.raises(ValueError):
+        darknet.front_end_index(ops, len(starts) + 1)
+
+    rng = np.random.default_rng(0)
+    params, state = model.init(jax.random.PRNGKey(4))
+    folded = model.fold(params, state)
+    x = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+
+    # (b) all-front f32: trunk identical to strict f32, head runs bf16
+    t_all = darknet.front_end_index(ops, len(starts))
+    full_f32 = darknet.apply_graph_folded(
+        folded, x, ops, compute_dtype=jnp.float32
+    )["trunk"]
+    hybrid_all = darknet.apply_graph_folded(
+        folded, x, ops, compute_dtype=jnp.bfloat16, f32_front_ops=len(ops)
+    )["trunk"]
+    np.testing.assert_allclose(
+        np.asarray(full_f32), np.asarray(hybrid_all), rtol=1e-6, atol=1e-6
+    )
+    assert t_all < len(ops)  # boundary is a real op index
+
+    # (c) partial front == manual two-segment composition
+    t = darknet.front_end_index(ops, 2)
+    hybrid = model.apply_folded(
+        folded, x, compute_dtype=jnp.bfloat16, f32_front_blocks=2
+    )
+    seg1 = darknet.apply_graph_folded(
+        folded, x, list(ops[:t]) + [("output", "cut")],
+        compute_dtype=jnp.float32,
+    )["cut"]
+    seg2 = darknet.apply_graph_folded(
+        folded, seg1, list(ops[t:]), compute_dtype=jnp.bfloat16
+    )["trunk"]
+    from face_vijnana_yolov3_tpu.models.detector import _head_conv
+
+    manual = _head_conv(
+        seg2.astype(jnp.bfloat16), folded["head"], jnp.bfloat16
+    )
+    np.testing.assert_allclose(
+        np.asarray(hybrid, np.float32), np.asarray(manual, np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_bn_train_mode_updates_moving_stats():
     ops = [("conv", 0, 8, 3, 1, True, True), ("output", "y")]
     params, state = darknet.init_graph_params(ops, jax.random.PRNGKey(3))
