@@ -36,13 +36,17 @@ def spatial_batch_sharded(mesh: Mesh) -> NamedSharding:
 
 
 def detect_spatial(model, mesh: Mesh, *, compute_dtype=jnp.bfloat16,
-                   postprocess_cfg=None):
+                   postprocess_cfg=None, f32_front_blocks: int = 0):
     """Jitted fused detect with DP x SP sharding over `mesh`.
 
     Returns fn(folded_params, images[B,H,W,3]) -> (candidates, counts), the
     same contract as the single-chip serving path (ops/postprocess), with
     images consumed as P('data','model') and outputs batch-sharded. Pass
     `postprocess_cfg=None` to get the raw (B,g,g,6) head instead (g = H/32).
+
+    f32_front_blocks: same bf16 input-noise guard as the single-chip serving
+    path (FdConf.bf16_f32_front; models/darknet.apply_graph_folded) — pass 2
+    when serving trained checkpoints in bf16.
     """
     from face_vijnana_yolov3_tpu.ops.postprocess import face_postprocess
 
@@ -51,7 +55,8 @@ def detect_spatial(model, mesh: Mesh, *, compute_dtype=jnp.bfloat16,
     out_sharding = NamedSharding(mesh, P("data"))
 
     def fwd(folded, images):
-        head = model.apply_folded(folded, images, compute_dtype=compute_dtype)
+        head = model.apply_folded(folded, images, compute_dtype=compute_dtype,
+                                  f32_front_blocks=f32_front_blocks)
         if postprocess_cfg is None:
             return head
         # Postprocess is per-image (169 cells) — gather the head per batch
