@@ -144,6 +144,29 @@ def test_identifier_quant_embeddings_close():
     assert dist.max() < 0.2, f"embedding drift {dist.max()}"
 
 
+def test_identifier_embed_folded_f32_front():
+    """bf16 folded embed with the f32-front guard (FiConf.bf16_f32_front)
+    stays unit-normalized and close to the f32 folded embedding — the FI
+    serving path's counterpart of the detector's bf16 trunk guard
+    (models/identifier.embed_folded docstring)."""
+    from face_vijnana_yolov3_tpu.models.identifier import FaceIdentifierModel
+
+    m = FaceIdentifierModel(image_size=96)
+    params, state = m.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 96, 96, 3), jnp.float32)
+    folded = m.fold(params, state)
+    e_ref = np.asarray(m.embed_folded(folded, x, compute_dtype=jnp.float32))
+    e_guarded = np.asarray(
+        m.embed_folded(
+            folded, x, compute_dtype=jnp.bfloat16, f32_front_blocks=2
+        ),
+        np.float32,
+    )
+    assert np.allclose(np.linalg.norm(e_guarded, axis=-1), 1.0, atol=1e-2)
+    dist = np.linalg.norm(e_guarded - e_ref, axis=-1)
+    assert dist.max() < 0.2, f"guarded bf16 embedding drift {dist.max()}"
+
+
 def test_pipeline_int8_auto_calibration(tmp_path):
     """precision='int8' pipeline auto-calibrates on the first batch and
     produces the same candidate contract as the f32 path."""
