@@ -106,6 +106,13 @@ class FaceIdentifierModel:
             preferred_element_type=(
                 jnp.float32 if compute_dtype == jnp.float32 else None
             ),
+            # f32 precision contract: without HIGHEST the TPU lowers this
+            # f32 matmul to bf16 passes (see similarity.match_embeddings).
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if compute_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            ),
         ) + dense["bias"]
         h = jnp.maximum(h.astype(jnp.float32), 0.0)
         norm = jnp.sqrt(jnp.maximum(jnp.sum(h * h, axis=-1, keepdims=True),

@@ -106,7 +106,9 @@ class FaceReconstructionModel:
         h = h / norm
         h = jnp.maximum(h, 0.0)
         h = jnp.dot(h, params["dense1_t"]["kernel"],
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    # f32 precision contract (see similarity.match_embeddings)
+                    precision=jax.lax.Precision.HIGHEST)
         h = h + params["dense1_t"]["bias"]
         h = h.reshape(-1, self.grid, self.grid, 1024)
 

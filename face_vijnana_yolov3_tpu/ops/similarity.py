@@ -31,7 +31,13 @@ def match_embeddings(queries: jnp.ndarray, registry: jnp.ndarray):
     # ||q - r||^2 = ||q||^2 + ||r||^2 - 2 q.r  — the cross term is one MXU matmul.
     q2 = jnp.sum(q * q, axis=-1, keepdims=True)            # (Q,1)
     r2 = jnp.sum(r * r, axis=-1)[None, :]                  # (1,R)
-    cross = jnp.dot(q, r.T, preferred_element_type=jnp.float32)
+    # Precision contract (CLAUDE.md): f32 matmuls request HIGHEST — the TPU
+    # default lowers to bf16 passes, which drifted best-dist by ~1.2e-3 on
+    # unit-norm embeddings (enough to flip near-tie argmins/sim_th gates vs
+    # the host oracle; parity_gauntlet stage H caught it on-chip). The
+    # matrix is tiny, so HIGHEST costs nothing.
+    cross = jnp.dot(q, r.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(q2 + r2 - 2.0 * cross, 0.0)
     dist = jnp.sqrt(d2)
     best_idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)

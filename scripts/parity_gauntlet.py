@@ -26,6 +26,13 @@ script closes that, end to end, in one command:
            embedding parity
   Stage G  yolov3_model.h5 roundtrip: TF-saved h5 of the darknet-loaded twin
            -> yolov3_from_keras_h5 == load_darknet_weights EXACTLY
+  Stage H  FI END-TO-END chain parity: a 3-image test set + 4-subject
+           registry; reference evaluate semantics (letterbox -> detect ->
+           un-pad -> (t-1):(b-1) crop -> letterbox crop -> embed -> L2
+           registry match -> sim_th gate -> solution_fi.csv row, reference
+           face_identification.py:772-1153) executed with TF as the engine
+           vs FaceIdentifierPipeline.test() end to end — per-file row sets,
+           subject assignments, coords and scores compared
 
 Run:  python scripts/parity_gauntlet.py            (JAX on CPU, deterministic)
       python scripts/parity_gauntlet.py --tpu      (JAX side on the live chip)
@@ -632,6 +639,215 @@ def main(argv=None):
                 print(f"    mismatch: {key}/{wname}")
     rep.check("G", "yolov3_model.h5 roundtrip == darknet import (bit-exact)",
               exact)
+
+    # ---------------- Stage H: FI end-to-end chain parity
+    # The chain under test is the COMPOSITION (detect boxes -> un-letterbox
+    # -> crop quirks -> crop letterbox -> embed -> registry match -> CSV),
+    # so the oracle reuses the repo's host geometry helpers (letterbox_host /
+    # unletterbox_boxes — independently unit-tested against handcrafted
+    # reference cases) but runs every NETWORK forward in TensorFlow and every
+    # decision loop in plain numpy per the reference semantics
+    # (face_identification.py:772-1153).
+    import pickle
+
+    from face_vijnana_yolov3_tpu.api.config import Conf
+    from face_vijnana_yolov3_tpu.api.face_identification import (
+        FaceIdentifierPipeline,
+    )
+    from face_vijnana_yolov3_tpu.ops.letterbox import unletterbox_boxes
+    from face_vijnana_yolov3_tpu.utils.io import imsave
+
+    testdir = os.path.join(ns.workdir, "fi_testset")
+    os.makedirs(testdir, exist_ok=True)
+    variants = {
+        "t0.jpg": photo,
+        "t1.jpg": photo[: image_h // 2, : image_w // 2],
+        "t2.jpg": photo[image_h // 3 :, image_w // 4 :],
+    }
+    for name, im in variants.items():
+        imsave(os.path.join(testdir, name), im)
+
+    def tf_embed(imgs):
+        d = np.asarray(emb_tf.predict(np.asarray(imgs, np.float32),
+                                      verbose=0), np.float64)
+        return d / np.sqrt(np.maximum((d ** 2).sum(-1, keepdims=True), 1e-12))
+
+    # 4-subject registry from distinct sub-crops (mean-of-one embedding each,
+    # the reference registry's degenerate case) — shared by BOTH engines, so
+    # the parity question is purely the query embeddings + the match loop
+    h3, w3 = image_h // 3, image_w // 3
+    reg_crops = [photo[: h3, : w3], photo[: h3, w3 : 2 * w3],
+                 photo[h3 : 2 * h3, : w3], photo[h3 : 2 * h3, w3 : 2 * w3]]
+    reg_lbs = np.stack([
+        letterbox_host(c / 255, S, "cubic")[0] for c in reg_crops
+    ]).astype(np.float32)
+    reg_embs64 = tf_embed(reg_lbs)
+    registry = {100 + i: reg_embs64[i].astype(np.float32) for i in range(4)}
+    reg_pickle = os.path.join(ns.workdir, "ref_facial_id_db.pickle")
+    with open(reg_pickle, "wb") as fh:
+        pickle.dump(registry, fh)
+
+    # Stage E's head biases the wh channels negative (threshold-interesting
+    # scores but zero-size boxes — the random-weight degenerate-box quirk).
+    # The FI chain needs croppable boxes, so stage H gets its own detector
+    # head with positive wh biases, calibrated on the 3 test images, saved
+    # as its own .h5 consumed by BOTH engines.
+    test_files = sorted(os.listdir(testdir))
+    test_imgs = {fn: imread(os.path.join(testdir, fn)) for fn in test_files}
+    test_lbs = {
+        fn: letterbox_host(im / 255, S, "cubic")[0].astype(np.float32)[None]
+        for fn, im in test_imgs.items()
+    }
+    rng_h = np.random.default_rng(23)
+    head_kernel_h = rng_h.normal(0, 0.01, (3, 3, 1024, 6)).astype(np.float32)
+    face_tf.get_layer("output").set_weights(
+        [head_kernel_h, np.zeros(6, np.float32)]
+    )
+    cal = np.concatenate([
+        np.asarray(face_tf.predict(lbi, verbose=0)[0], np.float64)
+        .reshape(-1, 6)
+        for lbi in test_lbs.values()
+    ])
+    # match per-channel mean AND std: a std-only rescale leaves the means
+    # where the random kernel x trunk content puts them — the wh channels
+    # landed negative, and decode's max(.,0) clamp turned every box
+    # zero-width (the degenerate-box quirk this stage must avoid)
+    std6_h = np.maximum(cal.std(axis=0), 1e-6)
+    # wh mean 0.15/std 0.05 -> ~60px boxes (2 grid cells) in the 416 grid:
+    # big enough to crop, small enough that NMS keeps several boxes/image
+    target_std_h = np.array([2.0, 1.0, 1.0, 0.05, 0.05, 2.0])
+    target_mean_h = np.array([0.0, 0.5, 0.5, 0.15, 0.15, 0.0])
+    scale_h = (target_std_h / std6_h)
+    head_kernel_h = head_kernel_h * scale_h.astype(np.float32)
+    head_bias_h = (target_mean_h - cal.mean(axis=0) * scale_h).astype(
+        np.float32)
+    face_tf.get_layer("output").set_weights([head_kernel_h, head_bias_h])
+    face_h5_fi = os.path.join(ns.workdir, "face_detector_fi.h5")
+    face_tf.save(face_h5_fi)
+
+    tf_face_heads = {}
+    all_scores = []
+    for fn, lbi in test_lbs.items():
+        hd = np.asarray(face_tf.predict(lbi, verbose=0)[0], np.float64)
+        tf_face_heads[fn] = hd
+        obj = 1.0 / (1.0 + np.exp(-hd[..., 0]))
+        all_scores.append((obj / (1.0 + np.exp(-hd[..., 5]))).ravel())
+    # margins sized for CROSS-BACKEND reruns too: TPU HIGHEST-f32 drifts
+    # ~1e-5 on head logits and ~3e-4 on embedding L2 distances vs CPU, so
+    # decision gaps must dominate BOTH engine drift and backend drift
+    face_th_h = split_threshold(np.concatenate(all_scores), target_n=60,
+                                min_gap=3e-4)
+
+    # oracle pass 1: boxes + crops + embeddings + distances (TF engine)
+    oracle = {}
+    all_dists = []
+    for fn, im in test_imgs.items():
+        cands_h = oracle_face_detect(tf_face_heads[fn], S, S // 32,
+                                     face_th_h, 0.5, 60)
+        if not cands_h:
+            oracle[fn] = []
+            continue
+        from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_geometry
+
+        geom = letterbox_geometry(im.shape[0], im.shape[1], S)
+        lb_boxes = np.asarray([list(b) for b, _s in cands_h], np.float64)
+        ub = unletterbox_boxes(lb_boxes, geom)
+        entries = []
+        for k, (_b, sc) in enumerate(cands_h):
+            l, t, r, b = (int(ub[k, 0]), int(ub[k, 1]),
+                          int(ub[k, 2]), int(ub[k, 3]))
+            crop = im[(t - 1):(b - 1), (l - 1):(r - 1), :]
+            if crop.shape[0] == 0 or crop.shape[1] == 0:
+                continue
+            lbc = letterbox_host(crop / 255, S, "cubic")[0]
+            entries.append((k, ub[k], sc, lbc))
+        if not entries:
+            oracle[fn] = []
+            continue
+        embs = tf_embed(np.stack([e[3] for e in entries]))
+        d = np.sqrt(((embs[:, None, :] - reg_embs64[None, :, :]) ** 2)
+                    .sum(-1))
+        rows = []
+        for (k, box, sc, _), drow in zip(entries, d):
+            srt = np.sort(drow)
+            j = int(np.argmin(drow))
+            rows.append({"sid": 100 + j, "box": box, "score": sc,
+                         "dist": float(drow[j]),
+                         # argmin margin: engine+backend drift reaches
+                         # ~3e-4 in embedding-distance space, so a near-tie
+                         # could legally flip the assignment — those rows are
+                         # excluded from the sid equality check below
+                         "margin": float(srt[1] - srt[0])})
+            all_dists.append(float(drow[j]))
+        oracle[fn] = rows
+
+    rep.check("H", "oracle produced matchable boxes",
+              len(all_dists) >= 6, f"{len(all_dists)} candidate matches")
+    # sim_th with an engine-drift-proof margin: keep ~2/3 of matches
+    sim_th = -split_threshold(-np.asarray(all_dists),
+                              target_n=max(2, 2 * len(all_dists) // 3),
+                              min_gap=2e-3)
+    for fn in oracle:
+        oracle[fn] = [r for r in oracle[fn] if r["dist"] <= sim_th]
+
+    # pipeline side: same h5 weights through the real CLI-level path
+    os.environ["FVY_DEVICE_LETTERBOX"] = "0"  # host letterbox = oracle's path
+    conf = Conf()
+    conf.fd_conf.model_loading = True
+    conf.fd_conf.model_path = face_h5_fi
+    conf.fd_conf.weights_path = "missing.weights"
+    conf.fd_conf.hps.face_conf_th = face_th_h
+    conf.fd_conf.hps.nms_iou_th = 0.5
+    conf.fd_conf.hps.num_cands = 60
+    conf.fi_conf.model_loading = True
+    conf.fi_conf.model_path = emb_h5
+    conf.fi_conf.weights_path = "missing.weights"
+    conf.fi_conf.test_path = testdir
+    conf.fi_conf.hps.sim_th = float(sim_th)
+    sol_fi = os.path.join(ns.workdir, "solution_fi.csv")
+    conf.fi_conf.output_file_path = sol_fi
+    prev_cwd = os.getcwd()
+    os.chdir(ns.workdir)  # registry pickle is CWD-relative (reference quirk)
+    try:
+        pipe = FaceIdentifierPipeline(conf)
+        pipe.test()
+    finally:
+        os.chdir(prev_cwd)
+
+    got = {fn: [] for fn in test_files}
+    with open(sol_fi) as fh:
+        for line in fh:
+            parts = line.strip().split(",")
+            got[parts[0]].append(
+                (int(parts[1]), *[float(v) for v in parts[2:]])
+            )
+    n_want = sum(len(v) for v in oracle.values())
+    n_got = sum(len(v) for v in got.values())
+    rep.check("H", "identified row count (TF-oracle vs pipeline)",
+              n_want == n_got, f"{n_want} vs {n_got}")
+    sid_bad = coord_bad = sid_checked = 0
+    max_sc_err = 0.0
+    for fn in test_files:
+        want_rows = oracle.get(fn, [])
+        got_rows = got[fn]
+        for w_r, g_r in zip(want_rows, got_rows):
+            if w_r["margin"] > 3e-3:
+                sid_checked += 1
+                if w_r["sid"] != g_r[0]:
+                    sid_bad += 1
+            wb = w_r["box"]
+            want_csv = (wb[0], wb[1], wb[2] - wb[0], wb[3] - wb[1])
+            if not np.allclose(want_csv, g_r[1:5], atol=1e-6):
+                coord_bad += 1
+            max_sc_err = max(max_sc_err, abs(w_r["score"] - g_r[5]))
+    rep.check("H", "subject assignments identical (margin>3e-3 rows)",
+              sid_bad == 0 and sid_checked >= max(1, n_want - 2),
+              f"{sid_bad}/{sid_checked} mismatched "
+              f"({n_want - sid_checked} near-tie rows excluded)")
+    rep.check("H", "box coords exact through the full chain", coord_bad == 0,
+              f"{coord_bad}/{n_want} off")
+    rep.check("H", "scores match", max_sc_err < 1e-4,
+              f"max err {max_sc_err:.2g}")
 
     # ---------------- summary
     dt = time.time() - t0
