@@ -81,6 +81,19 @@ class FdConf:
     # accuracy wins; int8 (the headline path) is unaffected
     # (scripts/probe_bf16_degen.py, models/darknet.py).
     bf16_f32_front: int = 2
+    # Distillation QAT (models/qat.py): N optimizer steps refining the folded
+    # kernels so the int8 program reproduces the f32 teacher's head outputs
+    # on the calibration images. 0 = plain PTQ. Closes the residual int8 mAP
+    # gap at FULL int8 speed (the bf16 tail costs throughput instead); runs
+    # once inside calibrate_int8, label-free.
+    int8_qat_steps: int = 0
+    int8_qat_lr: float = 1e-5
+    # Train only the convs of the last N residual blocks during QAT (0 = all).
+    # Full-graph distillation demonstrably HURTS on trained checkpoints (AP50
+    # 0.80 -> 0.36, scripts/probe_qat.py): near the PTQ noise floor STE
+    # gradients random-walk the perturbation-brittle front convs, while the
+    # int8 gap itself lives in the late blocks (the bf16-tail evidence).
+    int8_qat_tail: int = 4
     hps: FdHps = dataclasses.field(default_factory=FdHps)
     nn_arch: FdNNArch = dataclasses.field(default_factory=FdNNArch)
 

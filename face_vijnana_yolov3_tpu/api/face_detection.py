@@ -126,11 +126,33 @@ class FaceDetectorPipeline:
         if percentile is None:
             percentile = getattr(self.conf, "int8_calib_percentile", 0.0) or None
         folded = self.model.fold(self.params, self.state)
+        x_calib = jnp.asarray(images[:16], jnp.float32)
+        qat_steps = getattr(self.conf, "int8_qat_steps", 0)
+        act_scales = None
+        if qat_steps:
+            # Distillation QAT (models/qat.py): refine the folded kernels so
+            # the int8 program matches the f32 teacher on the calibration
+            # images, against FROZEN scales that then deploy unchanged.
+            from face_vijnana_yolov3_tpu.models import qat, quant
+            from face_vijnana_yolov3_tpu.models.detector import _head_conv
+
+            act_scales = quant.calibrate_folded(
+                folded, x_calib, self.model.ops, percentile=percentile)
+            folded, _ = qat.distill_folded(
+                folded, np.asarray(images, np.float32), self.model.ops,
+                act_scales=act_scales,
+                head_fn=lambda outs, prm: _head_conv(
+                    outs["trunk"], prm["head"], jnp.float32),
+                steps=qat_steps,
+                lr=getattr(self.conf, "int8_qat_lr", 1e-5),
+                tail_blocks=getattr(self.conf, "int8_qat_tail", 4),
+            )
         self._qparams = jax.device_put(
             self.model.quantize(
-                folded, jnp.asarray(images[:16], jnp.float32),
+                folded, x_calib,
                 percentile=percentile,
                 bf16_tail_blocks=getattr(self.conf, "int8_bf16_tail", 0),
+                act_scales=act_scales,
             )
         )
         self._invalidate_jits()

@@ -116,7 +116,7 @@ class FaceDetectorModel:
     # -------------------------------------------------------------- int8 serving
 
     def quantize(self, folded, x_calib, *, percentile: float | None = None,
-                 bf16_tail_blocks: int = 0):
+                 bf16_tail_blocks: int = 0, act_scales=None):
         """Calibrated int8 qparams from folded params (models/quant.py).
 
         TPU-native serving optimization (no reference counterpart): int8 MXU
@@ -125,12 +125,14 @@ class FaceDetectorModel:
         bf16_tail_blocks: keep the last N residual blocks in bf16 (mixed
         tail — trained checkpoints' late-layer outliers are the int8 AP
         gap, models/quant.py).
+        act_scales: precomputed scale vectors (required after a QAT
+        refinement so the deployed scales equal the trained-against ones).
         """
         from face_vijnana_yolov3_tpu.models import quant
 
         return quant.quantize_folded(
             folded, x_calib, self.ops, percentile=percentile,
-            bf16_tail_blocks=bf16_tail_blocks,
+            bf16_tail_blocks=bf16_tail_blocks, act_scales=act_scales,
         )
 
     def apply_quant(self, qparams, x, *, head_dtype=jnp.bfloat16):

@@ -145,6 +145,7 @@ def tail_start_index(ops: list[tuple], n_blocks: int) -> int:
 def quantize_folded(
     folded_params, x_calib, ops: list[tuple], *,
     percentile: float | None = None, bf16_tail_blocks: int = 0,
+    act_scales: list[np.ndarray] | None = None,
 ) -> dict[str, Any]:
     """folded f32 params + calibration batch -> int8 qparams pytree.
 
@@ -164,8 +165,16 @@ def quantize_folded(
     for trained checkpoints whose late residual-stream outliers stretch the
     int8 grid (box-regression channels are the quantization-sensitive ones;
     STATUS.md int8 gap).
+
+    act_scales: precomputed per-position scale vectors (calibrate_folded
+    layout) instead of calibrating here — REQUIRED after a distillation QAT
+    refinement (models/qat.py): the refined kernels were trained against
+    frozen scales, so recalibrating from the refined forward would deploy a
+    different program than the one that was trained.
     """
-    scales = calibrate_folded(folded_params, x_calib, ops, percentile=percentile)
+    scales = (act_scales if act_scales is not None else
+              calibrate_folded(folded_params, x_calib, ops,
+                               percentile=percentile))
     tail_start = (
         tail_start_index(ops, bf16_tail_blocks) if bf16_tail_blocks else None
     )
