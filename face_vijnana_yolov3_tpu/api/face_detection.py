@@ -240,15 +240,23 @@ class FaceDetectorPipeline:
         )
         import jax.numpy as jnp
 
+        # A Keras-style model_path (face_detector.h5 — the reference's train
+        # artifact, face_detection.py:630) trains against a sibling Orbax dir
+        # and exports the h5 at the end, so the reference's filesystem
+        # contract holds: train produces the same file evaluate/test load.
+        keras_h5 = self.conf.model_path.endswith((".h5", ".hd5"))
+        ckpt_path = (self.conf.model_path + ".orbax" if keras_h5
+                     else self.conf.model_path)
+
         self.params, self.state, losses = train_detector(
             self.model,
             self.params,
             self.state,
             dataset,
             self.hps,
-            checkpoint_path=self.conf.model_path,
+            checkpoint_path=ckpt_path,
             init_opt_state=self.opt_state,
-            history_path=self.conf.model_path + "_history.jsonl",
+            history_path=ckpt_path + "_history.jsonl",
             # pipeline precision knob: bfloat16 = mixed-precision training
             # (f32 master params, bf16 fwd/bwd — 3.4x step throughput);
             # int8 is a serving-only mode, train falls back to strict f32.
@@ -258,6 +266,13 @@ class FaceDetectorPipeline:
             checkpoint_every=getattr(self.conf, "checkpoint_every", 0),
         )
         print("Save the model.")
+        if keras_h5:
+            from face_vijnana_yolov3_tpu.core.keras_import import (
+                save_detector_keras_h5,
+            )
+
+            save_detector_keras_h5(self.params, self.state,
+                                   self.conf.model_path)
         # Trained params invalidate every compiled detect program and any int8
         # calibration (detect_batch re-calibrates on its next int8 call).
         self._invalidate_jits()

@@ -212,6 +212,12 @@ class FaceIdentifierPipeline:
         from face_vijnana_yolov3_tpu.parallel import mesh as mesh_lib
 
         model_axis = int(getattr(self.conf, "model_axis", 1))
+        # Keras-style model_path (face_identifier.h5, the reference's train
+        # artifact, face_identification.py:643): train against a sibling
+        # Orbax dir, export the h5 at the end (see FaceDetectorPipeline.train).
+        keras_h5 = self.conf.model_path.endswith((".h5", ".hd5"))
+        ckpt_path = (self.conf.model_path + ".orbax" if keras_h5
+                     else self.conf.model_path)
         self.params, self.state, losses = train_identifier(
             self.model,
             self.params,
@@ -219,9 +225,9 @@ class FaceIdentifierPipeline:
             dataset,
             self.hps,
             mesh=mesh_lib.make_mesh(model_axis=model_axis),
-            checkpoint_path=self.conf.model_path,
+            checkpoint_path=ckpt_path,
             init_opt_state=self.opt_state,
-            history_path=self.conf.model_path + "_history.jsonl",
+            history_path=ckpt_path + "_history.jsonl",
             # bfloat16 pipeline precision = mixed-precision training; int8 is
             # serving-only, train falls back to strict f32.
             compute_dtype=(
@@ -235,6 +241,13 @@ class FaceIdentifierPipeline:
         # quantized weights; next embed() re-folds + re-calibrates.
         self._q_embed = None
         print("Save the model.")
+        if keras_h5:
+            from face_vijnana_yolov3_tpu.core.keras_import import (
+                save_identifier_keras_h5,
+            )
+
+            save_identifier_keras_h5(self.params, self.state,
+                                     self.conf.model_path)
         return losses
 
     def create_face_reconst_model(self):

@@ -114,20 +114,20 @@ def yolov3_from_keras_h5(h5_path: str):
     return params, state
 
 
-def save_yolov3_keras_h5(params, state, h5_path: str):
-    """Save full-graph YOLOv3 params as a Keras-layout weights h5.
+def _write_keras_h5(h5_path: str, layout, params, state,
+                    extra_layers: list[tuple[str, str]] = ()):
+    """Write a Keras-2.2.4-layout weights h5
+    (`model_weights/<layer>/<layer>/<weight>:0`) from our pytrees.
 
-    Counterpart of the demo CLI's `yolov3.save('yolov3_model.h5')` fast path
-    (reference src/space/yolov3_detect.py:584-585): reloading skips the 248 MB
-    darknet binary parse. Datasets are laid out Keras-2.2.4 style
-    (`model_weights/<layer>/<layer>/<weight>:0`) so `yolov3_from_keras_h5`
-    (and any h5py reader of reference checkpoints) reads it back; unlike the
-    reference this stores weights only, not a pickled Keras model object —
-    there is no Keras graph here to serialize.
+    layout: `conv_layout(...)` rows for the graph's conv/bnorm layers.
+    extra_layers: [(h5_layer_name, params_key)] kernel+bias pairs appended
+    after the graph layers (the detector's `output` head, the identifier's
+    `dense1`). Weights only — there is no Keras graph/optimizer object here
+    to serialize (the reference's whole-model `model.save` also pickles the
+    compiled optimizer; resuming from our h5 restarts the optimizer, exactly
+    like the reference's `model_loading` path does after a config change).
     """
     import h5py
-
-    from face_vijnana_yolov3_tpu.models.darknet import yolov3_graph, conv_layout
 
     with h5py.File(h5_path, "w") as f:
         root = f.create_group("model_weights")
@@ -137,7 +137,7 @@ def save_yolov3_keras_h5(params, state, h5_path: str):
                 f"{layer}/{wname}:0", data=np.asarray(arr, np.float32)
             )
 
-        for idx, _i, _o, _k, _s, bn in conv_layout(yolov3_graph()):
+        for idx, _i, _o, _k, _s, bn in layout:
             entry = params[f"conv_{idx}"]
             put(f"conv_{idx}", "kernel", entry["kernel"])
             if not bn:
@@ -148,3 +148,40 @@ def save_yolov3_keras_h5(params, state, h5_path: str):
                 put(f"bnorm_{idx}", "beta", bp["beta"])
                 put(f"bnorm_{idx}", "moving_mean", bs["mean"])
                 put(f"bnorm_{idx}", "moving_variance", bs["var"])
+        for layer, key in extra_layers:
+            put(layer, "kernel", params[key]["kernel"])
+            put(layer, "bias", params[key]["bias"])
+
+
+def save_yolov3_keras_h5(params, state, h5_path: str):
+    """Save full-graph YOLOv3 params as a Keras-layout weights h5.
+
+    Counterpart of the demo CLI's `yolov3.save('yolov3_model.h5')` fast path
+    (reference src/space/yolov3_detect.py:584-585): reloading skips the 248 MB
+    darknet binary parse. `yolov3_from_keras_h5` (and any h5py reader of
+    reference checkpoints) reads it back.
+    """
+    from face_vijnana_yolov3_tpu.models.darknet import yolov3_graph, conv_layout
+
+    _write_keras_h5(h5_path, conv_layout(yolov3_graph()), params, state)
+
+
+def save_detector_keras_h5(params, state, h5_path: str):
+    """Export detector params as the reference's `face_detector.h5` artifact
+    (producer: reference face_detection.py:630 `model.save`). Round-trips
+    through `detector_from_keras_h5`; the trunk block also loads under any
+    reference-style reader."""
+    from face_vijnana_yolov3_tpu.models.darknet import trunk_graph, conv_layout
+
+    _write_keras_h5(h5_path, conv_layout(trunk_graph()), params, state,
+                    extra_layers=[("output", "head")])
+
+
+def save_identifier_keras_h5(params, state, h5_path: str):
+    """Export identifier params as the reference's `face_identifier.h5`
+    artifact (producer: reference face_identification.py:643). Round-trips
+    through `identifier_from_keras_h5`."""
+    from face_vijnana_yolov3_tpu.models.darknet import trunk_graph, conv_layout
+
+    _write_keras_h5(h5_path, conv_layout(trunk_graph()), params, state,
+                    extra_layers=[("dense1", "dense1")])

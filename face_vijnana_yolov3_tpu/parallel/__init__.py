@@ -8,8 +8,10 @@ from face_vijnana_yolov3_tpu.parallel.mesh import (
     shard_identifier_params,
     put_tree,
 )
+from face_vijnana_yolov3_tpu.parallel.serving import detect_quant_dp
 
 __all__ = [
+    "detect_quant_dp",
     "init_distributed",
     "make_mesh",
     "replicated",

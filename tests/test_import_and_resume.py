@@ -148,3 +148,84 @@ def test_pipeline_loads_reference_keras_h5(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(fd.params["head"]["kernel"]), arrays["output/kernel:0"]
     )
+
+
+def test_save_detector_keras_h5_roundtrip(tmp_path):
+    """Exporter writes the reference's face_detector.h5 artifact; our own
+    importer reads back the identical tree (kernel/bias/BN params+state)."""
+    from face_vijnana_yolov3_tpu.core.keras_import import (
+        detector_from_keras_h5, save_detector_keras_h5,
+    )
+    from face_vijnana_yolov3_tpu.models.detector import FaceDetectorModel
+
+    model = FaceDetectorModel()
+    params, state = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "face_detector.h5")
+    save_detector_keras_h5(params, state, path)
+    params2, state2 = detector_from_keras_h5(path)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, params2)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state, state2)
+
+
+def test_save_identifier_keras_h5_roundtrip(tmp_path):
+    from face_vijnana_yolov3_tpu.core.keras_import import (
+        identifier_from_keras_h5, save_identifier_keras_h5,
+    )
+    from face_vijnana_yolov3_tpu.models.identifier import FaceIdentifierModel
+
+    model = FaceIdentifierModel(image_size=64)
+    params, state = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "face_identifier.h5")
+    save_identifier_keras_h5(params, state, path)
+    params2, _ = identifier_from_keras_h5(path)
+    np.testing.assert_array_equal(np.asarray(params["dense1"]["kernel"]),
+                                  np.asarray(params2["dense1"]["kernel"]))
+    np.testing.assert_array_equal(np.asarray(params["conv_50"]["kernel"]),
+                                  np.asarray(params2["conv_50"]["kernel"]))
+
+
+def test_train_with_h5_model_path_exports_keras_artifact(tmp_path):
+    """mode=train with model_path=face_detector.h5 produces the reference's
+    artifact (face_detection.py:630) and evaluates/loads from it."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.utils.io import imsave
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(2):
+        name = f"t{i}.jpg"
+        imsave(str(tmp_path / name),
+               rng.uniform(0, 255, (100, 120, 3)).astype(np.uint8))
+        rows.append({"FACE_ID": i, "FILE": name, "SUBJECT_ID": 1,
+                     "FACE_X": 20, "FACE_Y": 20, "FACE_WIDTH": 40,
+                     "FACE_HEIGHT": 40})
+    pd.DataFrame(rows).to_csv(tmp_path / "training.csv", index=False)
+
+    h5_path = str(tmp_path / "face_detector.h5")
+    conf = FdConf(
+        raw_data_path=str(tmp_path),
+        weights_path="missing.weights",
+        model_path=h5_path,
+    )
+    conf.nn_arch.image_size = 64
+    conf.hps.epochs = 1
+    conf.hps.batch_size = 2
+    fd = FaceDetectorPipeline(conf)
+    fd.train()
+    assert os.path.exists(h5_path)
+    assert os.path.isdir(h5_path + ".orbax")  # resumable optimizer state
+
+    conf.model_loading = True
+    fd2 = FaceDetectorPipeline(conf)
+    np.testing.assert_array_equal(
+        np.asarray(fd2.params["head"]["kernel"]),
+        np.asarray(fd.params["head"]["kernel"]),
+    )
