@@ -81,6 +81,18 @@ class FdConf:
     # accuracy wins; int8 (the headline path) is unaffected
     # (scripts/probe_bf16_degen.py, models/darknet.py).
     bf16_f32_front: int = 2
+    # bf16 front-guard flavor — EXPERIMENTAL, measured HARMFUL; keep "f32".
+    # "int8" swaps the f32 guard for a calibrated int8 front (quant.py with
+    # bf16_tail_blocks = everything after the guard; auto-calibrates on the
+    # first detect batch like precision="int8"). Hypothesis was guard-level
+    # accuracy at ~unguarded speed (the full-int8 path resists the input
+    # noise that breaks raw bf16, AP50 0.8018 vs 0.4548). Measured on the
+    # bench checkpoint it COLLAPSES instead: AP50 0.0957 (front 1) / 0.1731
+    # (front 2) vs 0.7833 for the f32 guard — int8's ABSOLUTE grid noise in
+    # the brittle front (15% more obj-threshold crossings) is faithfully
+    # amplified by the bf16 tail, whereas in full int8 the downstream
+    # requant grids absorb it. Kept for diagnosis only (PROFILE.md).
+    bf16_front_mode: str = "f32"
     # Distillation QAT (models/qat.py): N optimizer steps refining the folded
     # kernels so the int8 program reproduces the f32 teacher's head outputs
     # on the calibration images. 0 = plain PTQ. Closes the residual int8 mAP
@@ -144,6 +156,11 @@ class FiConf:
     # Same trunk f32-front guard as FdConf.bf16_f32_front, for the bf16
     # folded embed path (models/identifier.embed_folded).
     bf16_f32_front: int = 2
+    # Guard flavor, as FdConf.bf16_front_mode: "int8" swaps the f32 front for
+    # a calibrated int8 front (auto-calibrated on the first embed batch).
+    # EXPERIMENTAL — measured harmful on the detector twin (see FdConf);
+    # keep "f32".
+    bf16_front_mode: str = "f32"
     hps: FiHps = dataclasses.field(default_factory=FiHps)
     nn_arch: FiNNArch = dataclasses.field(default_factory=FiNNArch)
 

@@ -107,6 +107,13 @@ class FaceDetectorPipeline:
 
     # -------------------------------------------------------------- detect
 
+    @property
+    def _hybrid_front(self) -> bool:
+        """bfloat16 serving with the int8 front guard (conf.bf16_front_mode).
+        Calibrates like int8 (auto on the first detect batch)."""
+        return (self.precision == "bfloat16"
+                and getattr(self.conf, "bf16_front_mode", "f32") == "int8")
+
     def calibrate_int8(self, images: np.ndarray,
                        percentile: float | None = None):
         """Calibrate the int8 serving path on a representative batch.
@@ -127,6 +134,23 @@ class FaceDetectorPipeline:
             percentile = getattr(self.conf, "int8_calib_percentile", 0.0) or None
         folded = self.model.fold(self.params, self.state)
         x_calib = jnp.asarray(images[:16], jnp.float32)
+        if self._hybrid_front:
+            # bf16 serving with an int8 front guard (conf.bf16_front_mode —
+            # EXPERIMENTAL, measured harmful; see the knob's docstring):
+            # quantize ONLY the guard segments; everything after runs folded
+            # bf16 via the mixed-tail mechanism. No QAT — the int8 region is
+            # two-to-four convs at PTQ noise level.
+            n_blocks = sum(1 for op in self.model.ops if op[0] == "save")
+            front = max(1, int(getattr(self.conf, "bf16_f32_front", 2)) or 1)
+            self._qparams = jax.device_put(
+                self.model.quantize(
+                    folded, x_calib,
+                    percentile=percentile,
+                    bf16_tail_blocks=n_blocks - (front - 1),
+                )
+            )
+            self._invalidate_jits()
+            return
         qat_steps = getattr(self.conf, "int8_qat_steps", 0)
         act_scales = None
         if qat_steps:
@@ -179,6 +203,20 @@ class FaceDetectorPipeline:
 
             self._jit_detect = jax.jit(detect)
         elif self.precision == "bfloat16":
+            if self._hybrid_front:
+                if getattr(self, "_qparams", None) is None:
+                    raise RuntimeError(
+                        "bf16_front_mode='int8' requires calibrate_int8() "
+                        "before detect"
+                    )
+                qparams = self._qparams  # int8 guard + folded-bf16 tail
+
+                def detect(images):
+                    head = self.model.apply_quant(qparams, images)
+                    return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
+
+                self._jit_detect = jax.jit(detect)
+                return
             folded = self.model.fold(self.params, self.state)
             front = getattr(self.conf, "bf16_f32_front", 2)
 
@@ -206,7 +244,8 @@ class FaceDetectorPipeline:
         device program: forward, sigmoid/threshold decode, NMS, ascending-score
         candidate selection.
         """
-        if self.precision == "int8" and getattr(self, "_qparams", None) is None:
+        if ((self.precision == "int8" or self._hybrid_front)
+                and getattr(self, "_qparams", None) is None):
             self.calibrate_int8(np.asarray(images))
         if self._jit_detect is None:
             self._build_detect()
@@ -368,7 +407,8 @@ class FaceDetectorPipeline:
                 return s.astype(jnp.float32) * (1.0 / 255.0)
             return s.astype(jnp.float32)
 
-        if self.precision == "int8" and getattr(self, "_qparams", None) is None:
+        if ((self.precision == "int8" or self._hybrid_front)
+                and getattr(self, "_qparams", None) is None):
             k = min(8, n_real)
             lb = jax.jit(
                 lambda s, r, c: letterbox_device_matmul(

@@ -109,9 +109,18 @@ class FaceIdentifierPipeline:
 
     # -------------------------------------------------------------- embedding
 
+    @property
+    def _hybrid_front(self) -> bool:
+        """bfloat16 embed with the int8 front guard (conf.bf16_front_mode),
+        as in FaceDetectorPipeline."""
+        return (self.precision == "bfloat16"
+                and getattr(self.conf, "bf16_front_mode", "f32") == "int8")
+
     def _embed_fn(self, bucket: int):
         if bucket not in self._embed_cache:
-            if self.precision == "int8":
+            if self.precision == "int8" or self._hybrid_front:
+                # Full int8 trunk, or (hybrid) int8 guard segments + folded
+                # bf16 rest via the quant mixed-tail mechanism.
                 qparams = self._q_embed
 
                 @jax.jit
@@ -151,13 +160,20 @@ class FaceIdentifierPipeline:
         """fid extractor: (B,S,S,3) → (B,D), bucket-padded so a handful of
         compiled programs serve every batch size. precision='int8'
         auto-calibrates the quantized trunk on the first batch."""
-        if self.precision == "int8" and getattr(self, "_q_embed", None) is None:
+        if ((self.precision == "int8" or self._hybrid_front)
+                and getattr(self, "_q_embed", None) is None):
             folded = self.model.fold(self.params, self.state)
             pct = getattr(self.conf, "int8_calib_percentile", 0.0) or None
+            tail = 0
+            if self._hybrid_front:
+                n_blocks = sum(1 for op in self.model.ops if op[0] == "save")
+                front = max(1, int(getattr(self.conf, "bf16_f32_front", 2))
+                            or 1)
+                tail = n_blocks - (front - 1)
             self._q_embed = jax.device_put(
                 self.model.quantize(
                     folded, jnp.asarray(images[:16], jnp.float32),
-                    percentile=pct,
+                    percentile=pct, bf16_tail_blocks=tail,
                 )
             )
         n = images.shape[0]

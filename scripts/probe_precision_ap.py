@@ -29,23 +29,38 @@ def main():
     from face_vijnana_yolov3_tpu.evals.detection import map_sweep
 
     valdir = os.path.join(workdir, "valset")
-    pcts = [float(a) for a in sys.argv[2:]] or [0.0, 99.99, 99.9, 99.5]
-    # rows: (precision, int8 percentile, int8 bf16-tail, bf16 f32-front)
-    rows = ([("float32", 0.0, 0, 0)]
+    args = sys.argv[2:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    pcts = [float(a) for a in args] or [0.0, 99.99, 99.9, 99.5]
+    # rows: (precision, int8 pct, int8 bf16-tail, bf16 f32-front, front mode)
+    rows = ([("float32", 0.0, 0, 0, "f32")]
             # bf16 f32-front sweep (FdConf.bf16_f32_front; default 2):
             # front=0 is the round-1 all-bf16 trunk that collapses on rare
             # images (scripts/probe_bf16_degen.py)
-            + [("bfloat16", 0.0, 0, f) for f in (0, 1, 2)]
-            + [("int8", p, 0, 0) for p in pcts]
+            + [("bfloat16", 0.0, 0, f, "f32") for f in (0, 1, 2)]
+            # int8-front hybrid (FdConf.bf16_front_mode="int8") — measured
+            # NEGATIVE result: AP50 0.0957/0.1731 on the bench checkpoint
+            # (int8's absolute grid noise in the brittle front, amplified by
+            # the bf16 tail; full int8's requant grids absorb the same noise)
+            + [("bfloat16", 99.99, 0, f, "int8") for f in (1, 2)]
+            + [("int8", p, 0, 0, "f32") for p in pcts]
             # mixed bf16 tail (models/quant.py bf16_tail_blocks) at the
             # default percentile
-            + [("int8", 99.99, t, 0) for t in (1, 2, 4)])
-    for precision, pct, tail, front in rows:
+            + [("int8", 99.99, t, 0, "f32") for t in (1, 2, 4)])
+    for precision, pct, tail, front, front_mode in rows:
         tag = precision if not pct else f"{precision}-p{pct}"
         if tail:
             tag += f"-tail{tail}"
         if precision == "bfloat16":
             tag += f"-front{front}"
+            if front_mode != "f32":
+                tag += f"-{front_mode}front"
+        if only and only not in tag:
+            continue
         sol = os.path.join(workdir, f"solution_fd_{tag}.csv")
         conf = FdConf(
             test_path=valdir,
@@ -58,6 +73,7 @@ def main():
         conf.int8_calib_percentile = pct
         conf.int8_bf16_tail = tail
         conf.bf16_f32_front = front
+        conf.bf16_front_mode = front_mode
         fd = FaceDetectorPipeline(conf, precision=precision)
         fd.test()  # CSV only, no drawing
         if os.path.getsize(sol) == 0:

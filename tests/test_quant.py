@@ -253,3 +253,97 @@ def test_bf16_tail_mixed_precision():
 
     with _pytest.raises(ValueError):
         quant.tail_start_index(darknet.yolov3_graph(), 1)
+
+
+def test_pipeline_bf16_int8_front(tmp_path):
+    """precision='bfloat16' + conf.bf16_front_mode='int8' (EXPERIMENTAL —
+    measured harmful on trained checkpoints, see FdConf.bf16_front_mode):
+    mechanism test that the front segments run calibrated int8 via the quant
+    mixed-tail machinery, the rest folded bf16, auto-calibrated on the first
+    batch like precision='int8'."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+
+    conf = FdConf(weights_path=str(tmp_path / "missing.weights"))
+    conf.nn_arch.image_size = 96
+    conf.bf16_front_mode = "int8"
+    fd32 = FaceDetectorPipeline(conf)
+    fdh = FaceDetectorPipeline(conf, precision="bfloat16")
+    assert fdh._hybrid_front
+    x = np.random.default_rng(0).uniform(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    c32, n32 = fd32.detect_batch(x)
+    ch, nh = fdh.detect_batch(x)
+    assert fdh._qparams is not None
+    assert ch.shape == c32.shape and nh.shape == n32.shape
+
+    q = fdh._qparams
+    n_blocks = sum(1 for op in fdh.model.ops if op[0] == "save")
+    # default guard scope bf16_f32_front=2 -> int8 covers conv_0/1 + first
+    # residual block; everything from the SECOND block opener runs bf16.
+    assert q["tail_start"] == [i for i, op in enumerate(fdh.model.ops)
+                               if op[0] == "save"][-(n_blocks - 1)]
+    # int8 region = everything before the 2nd block opener: conv_0/1 + first
+    # residual block (conv_2/3) + the stage-2 downsample conv_5 (conv_4 is an
+    # add layer in reference numbering). Same boundary as the f32 guard:
+    # quant.tail_start_index(ops, n-(front-1)) == darknet.front_end_index(
+    # ops, front) == starts[front-1].
+    assert all(f"conv_{i}" in q for i in (0, 1, 2, 3, 5))
+    assert "conv_6" in q["tail"] and "conv_6" not in q
+    # head runs bf16 from untouched f32 params, same as the f32-guard path
+    np.testing.assert_array_equal(
+        np.asarray(q["head"]["kernel"]),
+        np.asarray(fdh.model.fold(fdh.params, fdh.state)["head"]["kernel"]))
+
+    # hybrid head tracks the f32 head at bf16-tail tolerance on random weights
+    folded = fdh.model.fold(fdh.params, fdh.state)
+    want = np.asarray(fdh.model.apply_folded(
+        folded, jnp.asarray(x), compute_dtype=jnp.float32))
+    got = np.asarray(fdh.model.apply_quant(q, jnp.asarray(x)))
+    assert np.abs(got - want).mean() < 0.05
+
+
+def test_pipeline_bf16_int8_front_scope_follows_guard_knob(tmp_path):
+    """bf16_f32_front=1 narrows the int8 region to conv_0/1 only."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+
+    conf = FdConf(weights_path=str(tmp_path / "missing.weights"))
+    conf.nn_arch.image_size = 96
+    conf.bf16_front_mode = "int8"
+    conf.bf16_f32_front = 1
+    fdh = FaceDetectorPipeline(conf, precision="bfloat16")
+    x = np.random.default_rng(1).uniform(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    fdh.detect_batch(x)
+    q = fdh._qparams
+    first_save = next(i for i, op in enumerate(fdh.model.ops)
+                      if op[0] == "save")
+    assert q["tail_start"] == first_save
+    assert "conv_0" in q and "conv_1" in q
+    assert "conv_2" not in q and "conv_2" in q["tail"]
+
+
+def test_fi_embed_bf16_int8_front():
+    """FI mirror of the detector's int8-front hybrid (FiConf.bf16_front_mode):
+    bfloat16 embed auto-calibrates an int8 guard + folded-bf16 tail on the
+    first batch; embeddings stay L2-normalized and track f32."""
+    from face_vijnana_yolov3_tpu.api.config import Conf
+    from face_vijnana_yolov3_tpu.api.face_identification import (
+        FaceIdentifierPipeline,
+    )
+
+    conf = Conf()
+    for c in (conf.fi_conf, conf.fd_conf):
+        c.weights_path = "missing.weights"
+        c.nn_arch.image_size = 64
+    conf.fi_conf.nn_arch.dense1_dim = 8
+    conf.fi_conf.bf16_front_mode = "int8"
+    fi = FaceIdentifierPipeline(conf, precision="bfloat16")
+    assert fi._hybrid_front
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(4, 64, 64, 3)).astype(np.float32)
+    e = fi.embed(x)
+    assert fi._q_embed is not None and "tail_start" in fi._q_embed
+    assert e.shape == (4, 8)
+    assert np.allclose(np.linalg.norm(e, axis=-1), 1.0, atol=1e-2)
+    e_ref = FaceIdentifierPipeline(conf).embed(x)  # f32 reference
+    assert np.linalg.norm(e - e_ref, axis=-1).max() < 0.2
