@@ -65,7 +65,7 @@ def ensure_trained_checkpoint():
         with open(meta_path) as f:
             meta = json.load(f)
 
-    while meta["epochs_done"] < TRAIN_EPOCHS or not os.path.isdir(valdir):
+    while meta["epochs_done"] < TRAIN_EPOCHS:
         sys.path.insert(
             0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "scripts"))
@@ -99,18 +99,21 @@ def ensure_trained_checkpoint():
               f"in {time.time()-t0:.0f}s "
               f"(loss {losses[0]:.4f} -> {losses[-1]:.4f})", file=sys.stderr)
 
-        import glob
-        import shutil
+    # Val copy lives OUTSIDE the training loop: a deleted/missing valset must
+    # be re-copied from the cached val_*.jpg, never by training an extra
+    # epoch on the converged checkpoint the published numbers came from.
+    import glob
+    import shutil
 
-        import pandas as pd
+    import pandas as pd
 
-        os.makedirs(valdir, exist_ok=True)
-        for f in glob.glob(os.path.join(CACHE, "val_*.jpg")):
-            dst = os.path.join(valdir, os.path.basename(f))
-            if not os.path.exists(dst):
-                shutil.copy(f, dst)
-        pd.read_csv(os.path.join(CACHE, "validation.csv")).to_csv(
-            os.path.join(valdir, "validation.csv"), index=False)
+    os.makedirs(valdir, exist_ok=True)
+    for f in glob.glob(os.path.join(CACHE, "val_*.jpg")):
+        dst = os.path.join(valdir, os.path.basename(f))
+        if not os.path.exists(dst):
+            shutil.copy(f, dst)
+    pd.read_csv(os.path.join(CACHE, "validation.csv")).to_csv(
+        os.path.join(valdir, "validation.csv"), index=False)
     return ckpt, valdir
 
 
@@ -187,6 +190,8 @@ def main():
         print(f"# trained-checkpoint path failed ({e!r}); "
               "falling back to random weights", file=sys.stderr)
         trained = False
+        ap = {}  # drop any partial trained-ckpt APs: the throughput below
+        # is measured on random weights, the JSON line must not mix models
         model0 = FaceDetectorModel()
         params, state = model0.init(jax.random.PRNGKey(0))
         x_calib = jax.random.uniform(

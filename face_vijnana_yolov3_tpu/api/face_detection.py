@@ -153,6 +153,16 @@ class FaceDetectorPipeline:
             return
         qat_steps = getattr(self.conf, "int8_qat_steps", 0)
         act_scales = None
+        if qat_steps and getattr(self.conf, "int8_bf16_tail", 0):
+            # The QAT student fake-quants EVERY position (models/qat.py has
+            # no tail cut), so deploying its kernels under a bf16 tail would
+            # ship a program that was never the one trained — the qat.py
+            # invariant. The two knobs solve the same gap; pick one.
+            raise ValueError(
+                "int8_qat_steps and int8_bf16_tail are mutually exclusive: "
+                "QAT trains against the full-int8 program, the bf16 tail "
+                "deploys a different one"
+            )
         if qat_steps:
             # Distillation QAT (models/qat.py): refine the folded kernels so
             # the int8 program matches the f32 teacher on the calibration

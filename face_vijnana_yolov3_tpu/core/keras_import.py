@@ -128,7 +128,12 @@ def _write_keras_h5(h5_path: str, layout, params, state,
     like the reference's `model_loading` path does after a config change).
     """
     import h5py
+    import jax
 
+    # ONE bulk device->host pull — per-tensor np.asarray would be ~150
+    # separate transfers over the tunneled TPU (quant.py documents the same
+    # hazard for quantize_folded).
+    params, state = jax.device_get((params, state))
     with h5py.File(h5_path, "w") as f:
         root = f.create_group("model_weights")
 

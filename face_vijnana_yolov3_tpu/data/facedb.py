@@ -208,12 +208,17 @@ class TripletDataset:
         negative, face_identification.py:1546)."""
         if not hasattr(self, "_subject_codes"):
             self._subject_codes = pd.factorize(self.db["subject_id"])[0]
+            # db rows carry positional indexes from construction; cache the
+            # index->position map ONCE — rebuilding this O(N) dict per batch
+            # would throttle the prefetch thread on large (vggface2) DBs.
+            self._index_pos = {
+                idx: k for k, idx in enumerate(self.db.index)
+            }
         n = len(self.img_triplet_pairs)
         start = index * batch_size
         stop = min(start + batch_size, n)
         rows = self.img_triplet_pairs[start:stop]
-        # db rows carry positional indexes from construction; map via .index
-        pos = {idx: k for k, idx in enumerate(self.db.index)}
+        pos = self._index_pos
         a = np.asarray(
             [self._subject_codes[pos[r[0]]] for r in rows], np.int32
         )

@@ -129,10 +129,20 @@ class DetectionDataset:
             path = os.path.join(
                 raw_data_path, f"{csv_name}.samples_{image_size}.npz"
             )
+            # Cache validity = CSV content fingerprint, not just row count: a
+            # regenerated dataset with the same N (new seed, corrected boxes)
+            # must invalidate the cached pixels/GT tensors.
+            csv_path = os.path.join(raw_data_path, csv_name)
+            st = os.stat(csv_path)
+            fprint = np.array([st.st_size, int(st.st_mtime_ns)], np.int64)
             if os.path.exists(path):
                 data = np.load(path, mmap_mode=None)
-                if data["images"].shape[0] == len(self.file_names):
-                    self._stack = (data["images"], data["gts"])
+                imgs = data["images"]  # bind once: each subscript of an
+                gts = data["gts"]      # NpzFile re-deserializes the array
+                stale = ("csv_fprint" not in data.files
+                         or not np.array_equal(data["csv_fprint"], fprint))
+                if imgs.shape[0] == len(self.file_names) and not stale:
+                    self._stack = (imgs, gts)
                     self._sample_cache = None
             if self._stack is None:
                 self._sample_cache = None  # the stack supersedes it
@@ -145,7 +155,7 @@ class DetectionDataset:
                 images = np.stack(images)
                 gts = np.stack(gts)
                 tmp = path + ".tmp.npz"
-                np.savez(tmp, images=images, gts=gts)
+                np.savez(tmp, images=images, gts=gts, csv_fprint=fprint)
                 os.replace(tmp, path)
                 self._stack = (images, gts)
                 self._sample_cache = None

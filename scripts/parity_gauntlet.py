@@ -350,6 +350,13 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     os.makedirs(ns.workdir, exist_ok=True)
 
+    # Entry-point rule (CLAUDE.md): the gauntlet jits ~10 distinct programs;
+    # without the persistent cache every --tpu re-run pays 60-90 s cold
+    # compiles per program over the axon tunnel.
+    from face_vijnana_yolov3_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -321,6 +321,15 @@ def test_detection_dataset_sample_cache(tmp_path):
     im4, gt4 = disk2.batch(0, 3)
     np.testing.assert_array_equal(im0, im4)
     np.testing.assert_array_equal(gt0, gt4)
+    # but REWRITING the CSV (same row count) must invalidate the cache — a
+    # regenerated dataset may carry different pixels/GT for the same N; the
+    # poisoned all-zero images must now actually be decoded and served
+    pd.DataFrame(rows).to_csv(tmp_path / "training.csv", index=False)
+    disk3 = DetectionDataset(str(tmp_path), image_size=64, grid=2,
+                             cache="disk")
+    im5, _ = disk3.batch(0, 3)
+    assert not np.array_equal(im0, im5)
+    assert np.abs(im5).max() == 0.0  # the zero images, freshly decoded
 
 
 def test_boundbox_compat_record():

@@ -184,3 +184,24 @@ def test_pipeline_qat_knob(tmp_path):
     pipe.calibrate_int8(imgs)
     cands, counts = pipe.detect_batch(imgs)
     assert cands.shape[0] == 4 and counts.shape == (4,)
+
+
+def test_qat_and_bf16_tail_mutually_exclusive():
+    """QAT trains against the FULL-int8 fake-quant program (qat.py has no
+    tail cut); deploying its kernels under a bf16 tail would ship a program
+    that was never the one trained — the combination must be rejected."""
+    import pytest
+
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+
+    conf = FdConf(weights_path="missing.weights")
+    conf.nn_arch.image_size = 96
+    conf.int8_qat_steps = 1
+    conf.int8_bf16_tail = 2
+    pipe = FaceDetectorPipeline(conf, precision="int8")
+    imgs = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(5), (2, 96, 96, 3)), np.float32
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        pipe.calibrate_int8(imgs)
