@@ -85,6 +85,13 @@ class FaceDetectorPipeline:
             self.params, self.state = self.model.init_from_darknet(
                 conf.weights_path, jax.random.PRNGKey(0)
             )
+            # Reference caches the built base (face_detection.py:598) so the
+            # next run with yolov3_base_model_load skips the darknet parse.
+            from face_vijnana_yolov3_tpu.core.keras_import import (
+                save_trunk_keras_h5,
+            )
+
+            save_trunk_keras_h5(self.params, self.state, "yolov3_base.h5")
         else:
             # The reference hard-requires yolov3.weights; a fresh random trunk
             # keeps the pipeline runnable in weightless environments (tests).

@@ -88,10 +88,31 @@ class FaceIdentifierPipeline:
                 ckpt = load_checkpoint(self.conf.model_path)
                 self.params, self.state = ckpt["params"], ckpt["state"]
                 self.opt_state = ckpt.get("opt_state")
+        elif (self.conf.yolov3_base_model_load
+              and os.path.exists("yolov3_base.h5")):
+            # Reference fast path: cached trunk h5, shared with the detector
+            # (FaceIdentifier.YOLOV3Base is a verbatim copy of FaceDetector's,
+            # face_identification.py:397-614, incl. the cache load at :404).
+            from face_vijnana_yolov3_tpu.core.keras_import import (
+                collect_keras_weights,
+                trunk_from_keras,
+            )
+
+            self.params, self.state = trunk_from_keras(
+                collect_keras_weights("yolov3_base.h5")
+            )
+            fresh, _ = self.model.init(jax.random.PRNGKey(1))
+            self.params["dense1"] = fresh["dense1"]
         elif os.path.exists(self.conf.weights_path):
             self.params, self.state = self.model.init_from_darknet(
                 self.conf.weights_path, jax.random.PRNGKey(1)
             )
+            from face_vijnana_yolov3_tpu.core.keras_import import (
+                save_trunk_keras_h5,
+            )
+
+            # Same base cache the reference writes (face_identification.py:612)
+            save_trunk_keras_h5(self.params, self.state, "yolov3_base.h5")
         else:
             print(
                 f"[face_identification] {self.conf.weights_path} not found — "

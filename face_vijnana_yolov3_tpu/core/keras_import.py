@@ -171,6 +171,19 @@ def save_yolov3_keras_h5(params, state, h5_path: str):
     _write_keras_h5(h5_path, conv_layout(yolov3_graph()), params, state)
 
 
+def save_trunk_keras_h5(params, state, h5_path: str):
+    """Cache the truncated trunk as the reference's `yolov3_base.h5` artifact
+    (producer: reference face_detection.py:598 `base.save`, duplicated at
+    face_identification.py:612): after a darknet-binary build, later runs
+    with `yolov3_base_model_load` skip the 248 MB parse. Reads back through
+    `trunk_from_keras(collect_keras_weights(...))`. Extra non-trunk entries
+    in `params` (detector head, identifier dense1) are not written — the
+    reference's base has neither."""
+    from face_vijnana_yolov3_tpu.models.darknet import trunk_graph, conv_layout
+
+    _write_keras_h5(h5_path, conv_layout(trunk_graph()), params, state)
+
+
 def save_detector_keras_h5(params, state, h5_path: str):
     """Export detector params as the reference's `face_detector.h5` artifact
     (producer: reference face_detection.py:630 `model.save`). Round-trips

@@ -199,6 +199,38 @@ def test_identifier_training_smoke(tmp_path, monkeypatch, precision):
     assert os.path.isdir(tmp_path / "fi_ckpt")
 
 
+def test_identifier_train_h5_model_path_exports_keras_artifact(
+        tmp_path, monkeypatch):
+    """mode=train with model_path=face_identifier.h5 produces the reference's
+    artifact (face_identification.py:643) plus the resumable .orbax sibling,
+    and a fresh pipeline loads from the h5 (FD twin lives in
+    tests/test_import_and_resume.py)."""
+    from face_vijnana_yolov3_tpu.api.face_identification import (
+        FaceIdentifierPipeline,
+    )
+    from face_vijnana_yolov3_tpu.data.facedb import create_subject_db_uccs
+
+    raw = _make_uccs_tree(tmp_path, n_subjects=2, per_subject=2)
+    monkeypatch.chdir(tmp_path)
+    create_subject_db_uccs(raw, image_size=64)
+    conf = _fi_conf(tmp_path, raw)
+    conf.fi_conf.hps.epochs = 1
+    conf.fi_conf.hps.batch_size = 2
+    h5_path = str(tmp_path / "face_identifier.h5")
+    conf.fi_conf.model_path = h5_path
+    fi = FaceIdentifierPipeline(conf)
+    fi.train()
+    assert os.path.exists(h5_path)
+    assert os.path.isdir(h5_path + ".orbax")
+
+    conf.fi_conf.model_loading = True
+    fi2 = FaceIdentifierPipeline(conf)
+    np.testing.assert_array_equal(
+        np.asarray(fi2.params["dense1"]["kernel"]),
+        np.asarray(fi.params["dense1"]["kernel"]),
+    )
+
+
 def test_identify_image_rows_with_handcrafted_boxes(tmp_path):
     """Non-degenerate boxes → crops → embed → match → rows (deterministic)."""
     from face_vijnana_yolov3_tpu.api.face_identification import (

@@ -229,3 +229,53 @@ def test_train_with_h5_model_path_exports_keras_artifact(tmp_path):
         np.asarray(fd2.params["head"]["kernel"]),
         np.asarray(fd.params["head"]["kernel"]),
     )
+
+
+def test_darknet_build_caches_yolov3_base_h5(tmp_path, monkeypatch):
+    """Building from the darknet binary writes the reference's
+    yolov3_base.h5 cache (face_detection.py:598); a later FD run with
+    yolov3_base_model_load and the FI pipeline (verbatim-copied YOLOV3Base,
+    face_identification.py:404) both load the identical trunk from it."""
+    from face_vijnana_yolov3_tpu.api.config import Conf, FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.api.face_identification import (
+        FaceIdentifierPipeline,
+    )
+    from face_vijnana_yolov3_tpu.models import darknet as dk
+
+    monkeypatch.chdir(tmp_path)
+    # trunk-sized fake darknet binary (header + exact float count)
+    n = 0
+    for _idx, in_c, out_c, k, _s, bn in dk.conv_layout(dk.trunk_graph()):
+        n += out_c * (4 if bn else 1) + k * k * in_c * out_c
+    rng = np.random.default_rng(7)
+    with open(tmp_path / "yolov3.weights", "wb") as f:
+        f.write(np.array([0, 2, 0], dtype=np.int32).tobytes())
+        f.write(np.zeros(8, dtype=np.uint8).tobytes())
+        f.write(rng.normal(size=n).astype(np.float32).tobytes())
+
+    conf = FdConf(weights_path=str(tmp_path / "yolov3.weights"))
+    conf.nn_arch.image_size = 64
+    fd = FaceDetectorPipeline(conf)
+    assert os.path.exists("yolov3_base.h5")
+
+    conf2 = FdConf(weights_path="missing.weights",
+                   yolov3_base_model_load=True)
+    conf2.nn_arch.image_size = 64
+    fd2 = FaceDetectorPipeline(conf2)
+    np.testing.assert_array_equal(
+        np.asarray(fd.params["conv_73"]["kernel"]),
+        np.asarray(fd2.params["conv_73"]["kernel"]))
+
+    c = Conf()
+    c.fi_conf.weights_path = "missing.weights"
+    c.fi_conf.yolov3_base_model_load = True
+    c.fi_conf.nn_arch.image_size = 64
+    c.fi_conf.nn_arch.dense1_dim = 8
+    c.fd_conf.weights_path = "missing.weights"
+    c.fd_conf.nn_arch.image_size = 64
+    fi = FaceIdentifierPipeline(c)
+    np.testing.assert_array_equal(
+        np.asarray(fd.params["conv_73"]["kernel"]),
+        np.asarray(fi.params["conv_73"]["kernel"]))
+    assert fi.params["dense1"]["kernel"].shape[-1] == 8
