@@ -106,6 +106,14 @@ class FdConf:
     # gradients random-walk the perturbation-brittle front convs, while the
     # int8 gap itself lives in the late blocks (the bf16-tail evidence).
     int8_qat_tail: int = 4
+    # int8 serving: run the 20 lane-aligned trunk residual blocks (stages
+    # 3/4/5) as fused Pallas kernels — the 1x1 intermediate stays in VMEM and
+    # the 3x3 runs as 9 MXU tap matmuls (ops/pallas_block.py). Bit-exact vs
+    # the stock XLA path (tests/test_pallas_block.py) but measured SLOWER on
+    # a real v5e (1.2-1.9x per stage; XLA's int8 conv emitter already runs
+    # ~73% of MXU peak on these shapes — table in ops/pallas_block.py and
+    # PROFILE.md). Kept off; the knob remains for future Mosaic versions.
+    int8_pallas_blocks: bool = False
     hps: FdHps = dataclasses.field(default_factory=FdHps)
     nn_arch: FdNNArch = dataclasses.field(default_factory=FdNNArch)
 

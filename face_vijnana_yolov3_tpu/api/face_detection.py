@@ -213,9 +213,12 @@ class FaceDetectorPipeline:
                     "int8 precision requires calibrate_int8() before detect"
                 )
             qparams = self._qparams
+            pallas_blocks = bool(
+                getattr(self.conf, "int8_pallas_blocks", False))
 
             def detect(images):
-                head = self.model.apply_quant(qparams, images)
+                head = self.model.apply_quant(
+                    qparams, images, pallas_blocks=pallas_blocks)
                 return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
 
             self._jit_detect = jax.jit(detect)

@@ -135,11 +135,17 @@ class FaceDetectorModel:
             bf16_tail_blocks=bf16_tail_blocks, act_scales=act_scales,
         )
 
-    def apply_quant(self, qparams, x, *, head_dtype=jnp.bfloat16):
-        """int8 trunk + bf16 head forward; same (B,13,13,6) f32 contract."""
+    def apply_quant(self, qparams, x, *, head_dtype=jnp.bfloat16,
+                    pallas_blocks: bool = False):
+        """int8 trunk + bf16 head forward; same (B,13,13,6) f32 contract.
+
+        pallas_blocks: run the 20 Pallas-eligible trunk residual blocks as
+        fused VMEM-resident kernels (ops/pallas_block.py) — bit-exact vs the
+        stock XLA int8 path."""
         from face_vijnana_yolov3_tpu.models import quant
 
-        outs = quant.apply_graph_quant(qparams, x, self.ops)
+        outs = quant.apply_graph_quant(qparams, x, self.ops,
+                                       pallas_blocks=pallas_blocks)
         feat = outs["trunk"].astype(head_dtype)
         return _head_conv(feat, qparams["head"], head_dtype)
 

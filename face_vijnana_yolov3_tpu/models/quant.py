@@ -218,6 +218,27 @@ def quantize_folded(
     return qparams
 
 
+def _pallas_block_match(ops: list[tuple], i: int, in_c: int) -> bool:
+    """ops[i] is a 'save' — does a Pallas-eligible residual block start here?
+
+    Pattern: save -> conv 1x1 s1 leaky -> conv 3x3 s1 leaky (back to in_c)
+    -> add(same name), with 128-multiple channel counts (block_eligible).
+    """
+    from face_vijnana_yolov3_tpu.ops.pallas_block import block_eligible
+
+    if i + 3 >= len(ops):
+        return False
+    c1, c2 = ops[i + 1], ops[i + 2]
+    return (
+        c1[0] == "conv" and c2[0] == "conv"
+        and ops[i + 3] == ("add", ops[i][1])
+        and c1[3] == 1 and c1[4] == 1 and c1[6]
+        and c2[3] == 3 and c2[4] == 1 and c2[6]
+        and c2[2] == in_c
+        and block_eligible(in_c, c1[2])
+    )
+
+
 def _conv_int8(x_q, kernel_q, stride, k):
     pad = ((1, 1), (1, 1)) if k > 1 else ((0, 0), (0, 0))
     return jax.lax.conv_general_dilated(
@@ -235,7 +256,9 @@ def _quant(h_f32, scale: np.ndarray):
     return jnp.clip(jnp.round(h_f32 * inv), -127, 127).astype(jnp.int8)
 
 
-def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = True):
+def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = True,
+                      pallas_blocks: bool = False,
+                      pallas_interpret: bool = False):
     """int8 inference forward. x is f32/bf16 in network input space.
 
     Activations travel between convs as int8 at the calibrated per-channel
@@ -257,6 +280,12 @@ def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = Tru
     With qparams["tail_start"] set (quantize_folded bf16_tail_blocks), the
     int8 walk stops there, dequantizes once, and the remaining ops run as
     folded bf16 (apply_graph_folded) — mixed-precision tail.
+
+    pallas_blocks: run every eligible residual block (1x1 -> 3x3 -> add with
+    128-multiple channels — trunk stages 3/4/5) as ONE fused Pallas kernel
+    (ops/pallas_block.py): the 1x1 intermediate never leaves VMEM and the
+    3x3 runs as 9 MXU-native tap matmuls. Bit-exact vs the stock path.
+    pallas_interpret: run those kernels in the Pallas interpreter (CPU tests).
     """
     tail_start = qparams.get("tail_start")
     if tail_start is not None:
@@ -269,6 +298,8 @@ def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = Tru
             x,
             list(ops[:tail_start]) + [("output", "__cut")],
             fuse_residual=fuse_residual,
+            pallas_blocks=pallas_blocks,
+            pallas_interpret=pallas_interpret,
         )
         h = head_outs.pop("__cut")
         tail_outs = apply_graph_folded(
@@ -282,11 +313,33 @@ def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = Tru
     h_q = _quant(jnp.asarray(x, jnp.float32), scales[0])
     s = scales[0]
     skip_add = False
+    skip_until = -1  # ops consumed by a fused Pallas residual block
     for i, op in enumerate(ops):
         kind = op[0]
         s_out = scales[i + 1]
+        if i <= skip_until:
+            continue
         if skip_add:  # consumed by the previous conv's fused epilogue
             skip_add = False
+            continue
+        if (pallas_blocks and kind == "save"
+                and _pallas_block_match(ops, i, int(h_q.shape[-1]))):
+            from face_vijnana_yolov3_tpu.ops.pallas_block import fused_block_int8
+
+            p1 = qparams[f"conv_{ops[i + 1][1]}"]
+            p2 = qparams[f"conv_{ops[i + 2][1]}"]
+            saved[op[1]] = (h_q, s)  # keep save semantics for later restores
+            h_q = fused_block_int8(
+                h_q,
+                p1["kernel_q"].reshape(p1["kernel_q"].shape[2:]),
+                p2["kernel_q"],
+                p1["w_scale"], p1["bias"], 1.0 / scales[i + 2],
+                p2["w_scale"], p2["bias"], s, 1.0 / scales[i + 4],
+                height=int(h_q.shape[1]), width=int(h_q.shape[2]),
+                interpret=pallas_interpret,
+            )
+            s = scales[i + 4]
+            skip_until = i + 3
             continue
         if kind == "conv":
             _, idx, _out_c, k, stride, _bn, leaky = op

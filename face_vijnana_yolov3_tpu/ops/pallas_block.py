@@ -1,0 +1,182 @@
+"""Pallas kernel: fused int8 Darknet residual block (1x1 -> 3x3 -> add).
+
+Every Darknet residual block in the int8 serving path
+(models/quant.apply_graph_quant) runs as two XLA int8 convs with fused
+epilogues; the 1x1's output still makes an HBM round trip, and XLA's TPU conv
+emitter runs the pair at ~50% of int8 MXU peak (PROFILE.md). This kernel
+computes the WHOLE block per grid step with the intermediate resident in
+VMEM:
+
+    x_q  --1x1 matmul-->  int32 --epilogue/requant--> y1_q (VMEM only)
+    y1_q --9 shifted tap matmuls (the 3x3)--> int32
+         --epilogue + skip-add(x_q) + requant--> out_q
+
+Layout is the natural one for Mosaic — channels in LANES (128-multiples:
+stage 3/4/5 blocks qualify, 20 of the trunk's 23), flattened H*W spatial in
+SUBLANES — so each 3x3 tap is a single [HW, Ch] x [Ch, C] int8 MXU matmul
+with the spatial shift expressed as a sublane roll + border mask. This is
+exactly the formulation the failed front-pair kernel could not reach
+(ops/pallas_front.py: 3/32-channel convs force channels into sublanes and
+per-row tap matmuls); with 128..1024 channels the block shapes are
+MXU-native.
+
+Numerics are BIT-EXACT vs the stock fused path: identical int32 accumulation
+and the same f32 epilogue ops in the same order (dequant * w_scale + bias,
+leaky, skip dequant-add, round-half-even, clip) — asserted by
+tests/test_pallas_block.py on every eligible trunk shape.
+
+STATUS — measured NEGATIVE result on a real v5e; kept off by default
+(FdConf.int8_pallas_blocks). scripts/probe_pallas_block.py (4 chained
+blocks, scan-chained timing, bit-exact at every stage):
+
+    stage3 52^2x256  b128  xla 5.48 ms   pallas  9.98 ms   (1.82x slower)
+    stage3 52^2x256  b512  xla 19.54 ms  pallas 36.94 ms   (1.89x)
+    stage4 26^2x512  b128  xla 4.84 ms   pallas  6.64 ms   (1.37x)
+    stage4 26^2x512  b512  xla 14.41 ms  pallas 21.43 ms   (1.49x)
+    stage5 13^2x1024 b128  xla 4.42 ms   pallas  5.35 ms   (1.21x)
+    stage5 13^2x1024 b512  xla 12.58 ms  pallas 17.91 ms   (1.42x)
+
+Why XLA wins: at stage5 b512 the stock int8 program sustains ~289 TOPS
+(~73% of v5e int8 MXU peak) — the conv emitter is much closer to peak on
+these lane-aligned shapes than the ~50% whole-trunk average in PROFILE.md
+suggested (that average is dragged down by the front). The fused kernel's
+VMEM-residency saving (skipping one hw*Ch int8 HBM round trip per block)
+is small against that, and the 9 per-tap int8 shift copies + border masks
+are pure VPU overhead the stock conv path doesn't pay, worst at stage3
+where hw=2704 dominates (47% of peak stock, kernel 1.9x behind). Lesson
+recorded: int8 residual blocks are MXU-bound under XLA already; Pallas wins
+here need a formulation with zero per-tap data movement (e.g. Mosaic
+support for strided tap matmuls), not just intermediate residency.
+
+Reference context: the residual stages come from make_yolov3_model
+(reference src/space/yolov3_detect.py:217-311); the int8 scheme quantizing
+them is this repo's own (no reference counterpart).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from face_vijnana_yolov3_tpu.models.darknet import LEAKY_ALPHA
+
+# 3x3 taps in kernel order: tap t = (ky, kx), offset (dy, dx) = (ky-1, kx-1).
+_TAPS = tuple((ky - 1, kx - 1) for ky in range(3) for kx in range(3))
+
+
+def block_eligible(in_c: int, mid_c: int) -> bool:
+    """Lane-dim constraint: both channel counts must be 128-multiples.
+
+    Stage 1 (64/32) and stage 2 (128/64) blocks fail it — their mid channels
+    would waste >=50% of every lane register; XLA keeps those (they are ~3%
+    of trunk time). Stages 3/4/5 (256/128, 512/256, 1024/512) qualify.
+    """
+    return in_c % 128 == 0 and mid_c % 128 == 0
+
+
+def _block_kernel(x_ref, w1_ref, w2_ref, ws1_ref, b1_ref, ism_ref,
+                  ws2_ref, b2_ref, ss_ref, iso_ref, out_ref, *,
+                  height: int, width: int):
+    hw = height * width
+    x = x_ref[0]  # [HW, C] int8
+
+    # ---- 1x1 conv: one matmul, epilogue, requant to the mid scales.
+    acc1 = jax.lax.dot_general(
+        x, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    h1 = acc1.astype(jnp.float32) * ws1_ref[0] + b1_ref[0]
+    h1 = jnp.where(h1 > 0, h1, LEAKY_ALPHA * h1)
+    y1 = jnp.clip(jnp.round(h1 * ism_ref[0]), -127, 127).astype(jnp.int8)
+
+    # ---- 3x3 conv as 9 shifted tap matmuls over the VMEM-resident y1.
+    row = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+    r_h = row // width
+    r_w = row % width
+    acc = jnp.zeros((hw, x_ref.shape[-1]), jnp.int32)
+    for t, (dy, dx) in enumerate(_TAPS):
+        off = dy * width + dx
+        # shifted[r] = y1[r + off] as a static slice + zero-fill concat on the
+        # sublane dim (Mosaic has no int8 sublane rotate: "Rotate with
+        # non-32-bit data"); the border mask below re-zeros these rows anyway.
+        if off > 0:
+            shifted = jnp.concatenate(
+                [y1[off:], jnp.zeros((off, y1.shape[1]), jnp.int8)], axis=0)
+        elif off < 0:
+            shifted = jnp.concatenate(
+                [jnp.zeros((-off, y1.shape[1]), jnp.int8), y1[:off]], axis=0)
+        else:
+            shifted = y1
+        valid = (
+            (r_h + dy >= 0) & (r_h + dy < height)
+            & (r_w + dx >= 0) & (r_w + dx < width)
+        )
+        shifted = jnp.where(valid, shifted, jnp.int8(0))
+        acc = acc + jax.lax.dot_general(
+            shifted, w2_ref[t], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    # ---- epilogue: dequant, leaky, fused skip-add, single requant.
+    hf = acc.astype(jnp.float32) * ws2_ref[0] + b2_ref[0]
+    hf = jnp.where(hf > 0, hf, LEAKY_ALPHA * hf)
+    hf = hf + x.astype(jnp.float32) * ss_ref[0]
+    out_ref[0] = jnp.clip(jnp.round(hf * iso_ref[0]), -127, 127).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "interpret"),
+)
+def fused_block_int8(x_q, w1_q, w2_q, ws1, b1, inv_s_mid, ws2, b2,
+                     skip_s, inv_s_out, *, height: int, width: int,
+                     interpret: bool = False):
+    """One int8 residual block, fused. x_q: [B, H, W, C] int8.
+
+    w1_q: [C, Ch] int8 (1x1 kernel, input scales pre-folded as in
+    quantize_folded); w2_q: [9, Ch, C] int8 (3x3 kernel, HWIO taps unrolled);
+    the six f32 vectors are the two epilogues' scales/biases and the block's
+    skip/output scales ((Ch,) or (C,)).
+    Returns [B, H, W, C] int8 at the post-add activation scales — bit-exact
+    vs the stock apply_graph_quant fused-residual path.
+    """
+    b, h, w, c = x_q.shape
+    ch = w1_q.shape[1]
+    hw = h * w
+    x_flat = x_q.reshape(b, hw, c)
+    vec = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
+    kernel = functools.partial(_block_kernel, height=h, width=w)
+    flops = 2 * b * hw * (c * ch + 9 * ch * c)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), jnp.int8),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, ch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, ch, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ch), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=2 * b * hw * c, transcendentals=0
+        ),
+        interpret=interpret,
+    )(
+        x_flat, w1_q, w2_q.reshape(9, ch, c), vec(ws1), vec(b1),
+        vec(inv_s_mid), vec(ws2), vec(b2), vec(skip_s), vec(inv_s_out),
+    )
+    return out.reshape(b, h, w, c)
