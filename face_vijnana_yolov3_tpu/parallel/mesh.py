@@ -15,6 +15,22 @@ Axes:
            'model', XLA inserts the reduce-scatter/all-reduce for the partial
            products. The conv trunk stays replicated over 'model' (at 40M params
            it fits every chip; batch DP is the right axis for convs).
+           The same axis doubles as the SPATIAL axis for high-resolution
+           serving (parallel/spatial.py: image height sharded, GSPMD halo
+           exchange) — a chip never needs both at once here.
+
+Deliberately ABSENT axes (design decision, not a gap):
+  pipeline — a pyramidal CNN pipelines badly: the five trunk stages have
+           non-uniform activation shapes (spatial halves / channels double at
+           every stride-2 boundary) and non-uniform per-stage param structure,
+           so an SPMD GPipe schedule (shard_map + ppermute over microbatches)
+           would need every inter-stage activation and every stage's params
+           padded to a common max shape — >2x wasted VMEM/HBM on the early
+           stages — to buy overlap that DP already gets for free at this
+           model size (40M params replicate everywhere; there is no memory
+           pressure for PP to relieve). DP x TP x SP cover batch, the one
+           fat matmul, and the resolution axis respectively.
+  expert — no MoE/expert structure exists anywhere in the reference family.
 """
 
 from __future__ import annotations
