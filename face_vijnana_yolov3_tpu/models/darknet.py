@@ -193,6 +193,62 @@ def init_graph_params(ops: list[tuple], rng: jax.Array | None = None):
     return params, state
 
 
+# ------------------------------------------------------------------ train BN
+
+@jax.custom_vjp
+def _bn_train_norm(h, gamma, beta):
+    """Batch-norm with batch statistics, hand-fused backward.
+
+    Returns (y_f32, mean, var). Forward is the one-pass E[x²]−E[x]² form
+    (see apply_graph train path). The custom backward was an attempt at the
+    25%-of-step BN gradient reductions (PROFILE.md): both reductions are
+    written as siblings of dy so multi-output reduction fusion reads dy/x̂
+    once, and dx is one more elementwise pass:
+
+        dβ = Σdy,  dγ = Σdy·x̂,  dx = (γ·inv/N)·(N·dy − Σdy − x̂·Σdy·x̂)
+
+    MEASURED NEGATIVE RESULT (round 2): 676-679 img/s b128 on the chip vs
+    684-691 for plain autodiff of the same forward — XLA already emits the
+    fused two-sibling backward from autodiff, and the custom-vjp boundary
+    costs a little fusion freedom around the residual saves. Kept opt-in
+    (`apply_graph(bn_custom_vjp=True)`), verified gradient-identical to
+    autodiff in tests/test_models.py::test_bn_custom_vjp_matches_autodiff.
+
+    The mean/var outputs feed the moving-average state only; their cotangents
+    are dropped in the backward (equivalent to stop_gradient on the moving
+    stats, which is also what Keras BN does — reference BN never
+    backpropagates through running statistics).
+    """
+    y, _res = _bn_train_norm_fwd(h, gamma, beta)
+    return y
+
+
+def _bn_train_norm_fwd(h, gamma, beta):
+    hf = h.astype(jnp.float32)
+    mean = jnp.mean(hf, axis=(0, 1, 2))
+    var = jnp.maximum(jnp.mean(hf * hf, axis=(0, 1, 2)) - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    y = (hf - mean) * (inv * gamma) + beta
+    # Save h in its storage dtype (bf16 on the mixed path — half the residual
+    # HBM of saving the f32 upcast) + the per-channel stats to rebuild x̂.
+    return (y, mean, var), (h, mean, inv, gamma)
+
+
+def _bn_train_norm_bwd(res, cts):
+    dy, _dmean, _dvar = cts  # moving-stat cotangents dropped (see docstring)
+    h, mean, inv, gamma = res
+    dy = dy.astype(jnp.float32)
+    xhat = (h.astype(jnp.float32) - mean) * inv
+    sum_dy = jnp.sum(dy, axis=(0, 1, 2))
+    sum_dy_xhat = jnp.sum(dy * xhat, axis=(0, 1, 2))
+    n = dy.size // dy.shape[-1]
+    dx = (gamma * inv / n) * (n * dy - sum_dy - xhat * sum_dy_xhat)
+    return dx.astype(h.dtype), sum_dy_xhat, sum_dy
+
+
+_bn_train_norm.defvjp(_bn_train_norm_fwd, _bn_train_norm_bwd)
+
+
 # ------------------------------------------------------------------ forward
 
 def _conv2d(x, kernel, stride, k, compute_dtype, precision_override=None):
@@ -256,6 +312,7 @@ def apply_graph(
     compute_dtype=jnp.float32,
     remat: bool = False,
     bn_momentum: float | None = None,
+    bn_custom_vjp: bool = False,
 ):
     """Interpret the graph. Returns (outputs, new_state).
 
@@ -279,7 +336,7 @@ def apply_graph(
                 outs, st = apply_graph(
                     params, state, h, seg_ops + [("output", "__h")],
                     train=train, compute_dtype=compute_dtype, remat=False,
-                    bn_momentum=bn_momentum,
+                    bn_momentum=bn_momentum, bn_custom_vjp=bn_custom_vjp,
                 )
                 return outs["__h"].astype(compute_dtype), st
 
@@ -322,12 +379,24 @@ def apply_graph(
                     # the sequential mean→jnp.var form forces a SECOND full
                     # HBM pass per layer (BN reductions were 21% of the b128
                     # train step, PROFILE.md). Stats accumulate in f32 even on
-                    # the bf16 path (jnp.var on bf16 reduced at bf16 before).
-                    hf = h.astype(jnp.float32)
-                    mean = jnp.mean(hf, axis=(0, 1, 2))
-                    var = jnp.maximum(
-                        jnp.mean(hf * hf, axis=(0, 1, 2)) - mean * mean, 0.0
-                    )
+                    # the bf16 path. bn_custom_vjp swaps in the hand-fused
+                    # backward (_bn_train_norm above) — measured 676 vs 691
+                    # img/s b128 on the chip, a ~2% LOSS vs XLA's autodiff
+                    # (PROFILE.md), so autodiff is the default; the custom
+                    # path stays as the tested fallback/diagnostic.
+                    if bn_custom_vjp:
+                        h, mean, var = _bn_train_norm(
+                            h, bp["gamma"], bp["beta"]
+                        )
+                    else:
+                        hf = h.astype(jnp.float32)
+                        mean = jnp.mean(hf, axis=(0, 1, 2))
+                        var = jnp.maximum(
+                            jnp.mean(hf * hf, axis=(0, 1, 2)) - mean * mean,
+                            0.0,
+                        )
+                        inv = jax.lax.rsqrt(var + BN_EPS)
+                        h = (hf - mean) * (inv * bp["gamma"]) + bp["beta"]
                     mom = BN_MOMENTUM if bn_momentum is None else bn_momentum
                     new_state[f"bnorm_{idx}"] = {
                         "mean": bs["mean"] * mom + mean * (1 - mom),
@@ -335,8 +404,8 @@ def apply_graph(
                     }
                 else:
                     mean, var = bs["mean"], bs["var"]
-                inv = jax.lax.rsqrt(var + BN_EPS)
-                h = (h - mean) * (inv * bp["gamma"]) + bp["beta"]
+                    inv = jax.lax.rsqrt(var + BN_EPS)
+                    h = (h - mean) * (inv * bp["gamma"]) + bp["beta"]
             else:
                 h = h + p["bias"]
             if leaky:

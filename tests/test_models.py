@@ -464,3 +464,68 @@ def test_train_mode_gradients_match_tensorflow():
         np.asarray(grads["bnorm_0"]["beta"]), tf_grads[2].numpy(),
         atol=1e-5, rtol=1e-4,
     )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_bn_custom_vjp_matches_autodiff(dtype):
+    """The hand-fused BN backward (darknet._bn_train_norm custom_vjp —
+    opt-in via apply_graph(bn_custom_vjp=True); measured perf-negative vs
+    autodiff, PROFILE.md) must be numerically identical to pure autodiff
+    through a graph with residual adds (skip-path cotangents sum into dy)."""
+
+    def ref_norm(h, gamma, beta):
+        hf = h.astype(jnp.float32)
+        mean = jnp.mean(hf, axis=(0, 1, 2))
+        var = jnp.maximum(jnp.mean(hf * hf, axis=(0, 1, 2)) - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + darknet.BN_EPS)
+        return (hf - mean) * (inv * gamma) + beta
+
+    # conv→BN→leaky ×2 with a residual add, mirroring apply_graph's train path
+    ops = [
+        ("conv", 0, 8, 3, 1, True, True),
+        ("save", "s"),
+        ("conv", 1, 4, 1, 1, True, True),
+        ("conv", 2, 8, 3, 1, True, True),
+        ("add", "s"),
+        ("output", "y"),
+    ]
+    params, state = darknet.init_graph_params(ops, jax.random.PRNGKey(5))
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(4, 8, 8, 3)) * 3, jnp.float32
+    )
+    target = jnp.asarray(np.random.default_rng(3).normal(size=(4, 8, 8, 8)),
+                         jnp.float32)
+
+    def loss_custom(p):
+        outs, _ = darknet.apply_graph(p, state, x, ops, train=True,
+                                      compute_dtype=dtype,
+                                      bn_custom_vjp=True)
+        return jnp.mean(jnp.square(outs["y"] - target))
+
+    def loss_ref(p):
+        # Same forward written with plain-autodiff BN.
+        h = x
+        saved = {}
+        for op in ops:
+            if op[0] == "conv":
+                _, idx, _oc, k, stride, _bn, _lk = op
+                h = darknet._conv2d(h, p[f"conv_{idx}"]["kernel"], stride, k,
+                                    dtype)
+                bp = p[f"bnorm_{idx}"]
+                h = ref_norm(h, bp["gamma"], bp["beta"])
+                h = jnp.where(h > 0, h, darknet.LEAKY_ALPHA * h)
+                h = h.astype(dtype)
+            elif op[0] == "save":
+                saved[op[1]] = h
+            elif op[0] == "add":
+                h = saved[op[1]] + h
+        return jnp.mean(jnp.square(h.astype(jnp.float32) - target))
+
+    g_custom = jax.grad(loss_custom)(params)
+    g_ref = jax.grad(loss_ref)(params)
+    flat_c, _ = jax.tree_util.tree_flatten(g_custom)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    for a, b in zip(flat_c, flat_r):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=2e-6, rtol=2e-5)
