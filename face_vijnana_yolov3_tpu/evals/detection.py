@@ -73,7 +73,15 @@ def match_solution(gt_path: str, sol_path: str):
     (0.50:0.05:0.95) reuse one matching pass — the assignment is threshold-free
     in the reference too.
     """
-    sol_df = pd.read_csv(sol_path, header=None)
+    try:
+        sol_df = pd.read_csv(sol_path, header=None)
+    except pd.errors.EmptyDataError:
+        # An undertrained/over-thresholded run writes zero rows; surface the
+        # same clear no-pairs error as below instead of a raw pandas crash.
+        raise ValueError(
+            f"solution file {sol_path!r} is empty — no detections to score "
+            "(the reference would crash here)"
+        ) from None
     gt_df = pd.read_csv(gt_path)
     sol_groups = sol_df.groupby(0)
     gt_groups = gt_df.groupby("FILE")

@@ -122,11 +122,21 @@ def main():
     fd._jit_detect = None  # rebuild with trained params
     fd.evaluate()
 
-    ps, rs, maps = map_sweep(
-        os.path.join(valdir, "validation.csv"),
-        conf.output_file_path,
-        out_h5=os.path.join(workdir, "p_r_curve.h5"),
-    )
+    try:
+        ps, rs, maps = map_sweep(
+            os.path.join(valdir, "validation.csv"),
+            conf.output_file_path,
+            out_h5=os.path.join(workdir, "p_r_curve.h5"),
+        )
+    except ValueError as e:
+        # Short quick-check runs sometimes clear face_conf_th on zero val
+        # images — a truthful (if useless) result of undertraining, not a
+        # pipeline failure. Report AP 0 instead of a crash; scale
+        # epochs/n_train up for a real generalization run.
+        print(f"scoring: {e}")
+        print("AP50 = 0.0000  mAP = 0.0000  (no detections above "
+              f"face_conf_th={conf.hps.face_conf_th})")
+        return
     print("AP50..AP95:", [round(float(m), 4) for m in maps])
     print(f"AP50 = {maps[0]:.4f}  mAP = {np.mean(maps):.4f}")
 

@@ -181,6 +181,16 @@ def test_map_sweep_writes_h5(tmp_path, monkeypatch):
         assert set(f.keys()) == {"ps_ls", "rs_ls", "mAP_ls"}
 
 
+def test_map_empty_solution_clear_error(tmp_path):
+    """A zero-row solution file (undertrained run, nothing above
+    face_conf_th) must raise the documented clear ValueError, not a raw
+    pandas EmptyDataError."""
+    gt_path, sol_path = _write_map_fixture(tmp_path)
+    open(sol_path, "w").close()
+    with pytest.raises(ValueError, match="empty"):
+        cal_mAP_fd(gt_path, sol_path, 0.5)
+
+
 def test_cal_acc_fi_handcrafted(tmp_path):
     gt = pd.DataFrame(
         {
