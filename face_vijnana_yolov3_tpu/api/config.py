@@ -63,12 +63,15 @@ class FdConf:
     checkpoint_every: int = 0
     dataset_cache: str = "none"
     # int8 activation calibration: percentile of |activation| to clip each
-    # graph position's range to; 0 = exact maxabs. Default 99.99 — trained
-    # checkpoints develop residual-stream outliers (maxabs ~90) that stretch
-    # the int8 grid and collapse AP under maxabs (AP50 0.80→0.21), while
-    # heavier clipping (99.9) destroys real range and collapses it again;
-    # 99.99 restores AP50 parity (scripts/probe_precision_ap.py).
-    int8_calib_percentile: float = 99.99
+    # graph position's range to; 0 = exact maxabs; "auto" (default) scores
+    # maxabs vs each clip candidate per channel by measured int8 round-trip
+    # MSE and clips only where decisively better (models/quant.py
+    # AUTO_CALIB_MARGIN). Any FIXED choice is checkpoint-dependent: one
+    # trained artifact collapsed under per-tensor maxabs (AP50 0.80→0.21,
+    # p99.99 rescued it), another collapsed under p99.99 (0.86→0.54, maxabs
+    # rescued it); auto scores 0.8445 on the latter — above both fixed
+    # choices (scripts/probe_precision_ap.py).
+    int8_calib_percentile: float | str = "auto"
     # Mixed-precision tail: keep the last N trunk residual blocks bf16 in the
     # int8 serving path (0 = full int8). Trained checkpoints' late-layer
     # outliers are the int8 AP gap (models/quant.py bf16_tail_blocks).
@@ -160,7 +163,9 @@ class FiConf:
     # in-batch FaceNet semi-hard re-selection inside the jitted step.
     negative_mining: str = "random"
     checkpoint_every: int = 0
-    int8_calib_percentile: float = 99.99
+    # Same semantics as FdConf.int8_calib_percentile ("auto" = per-channel
+    # measured-MSE choice between maxabs and clip candidates).
+    int8_calib_percentile: float | str = "auto"
     # Same trunk f32-front guard as FdConf.bf16_f32_front, for the bf16
     # folded embed path (models/identifier.embed_folded).
     bf16_f32_front: int = 2

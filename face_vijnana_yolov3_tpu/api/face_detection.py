@@ -131,11 +131,11 @@ class FaceDetectorPipeline:
         its first batch when precision == "int8" and this was never called.
 
         percentile: activation-range clipping (models/quant.calibrate_folded).
-        None reads conf.int8_calib_percentile (0/absent = exact maxabs).
-        Trained-from-scratch checkpoints develop late-trunk activation
-        outliers (maxabs ~90) that stretch the int8 grid — maxabs calibration
-        collapsed AP50 0.80→0.21 on such a model while 99.9-percentile
-        clipping restores parity (scripts/probe_precision_ap.py).
+        None reads conf.int8_calib_percentile (0/absent = exact maxabs;
+        "auto" = per-channel measured-MSE choice, the default — fixed
+        percentiles are checkpoint-dependent: maxabs collapsed one trained
+        artifact AP50 0.80→0.21 while p99.99 collapsed another 0.86→0.54;
+        scripts/probe_precision_ap.py).
         """
         if percentile is None:
             percentile = getattr(self.conf, "int8_calib_percentile", 0.0) or None

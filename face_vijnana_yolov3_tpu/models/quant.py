@@ -38,8 +38,24 @@ import numpy as np
 from face_vijnana_yolov3_tpu.models.darknet import LEAKY_ALPHA
 
 
+# Candidate clip percentiles scored by "auto" calibration (plus exact maxabs).
+AUTO_CALIB_PERCENTILES = (99.99, 99.9)
+# "auto" only clips a channel when the clip candidate's round-trip MSE beats
+# maxabs by this factor. Hairline MSE wins (ratio ~0.99 on clean channels —
+# clipping a sliver off the top shrinks the grid for everything else) trade a
+# SYSTEMATIC truncation of the largest activations for noise-level gain, and
+# that bias compounds over 52 int8 layers. Measured on the bench checkpoint
+# (f32 AP50 0.8628, maxabs 0.8415, p99.99 0.5367): plain argmin 0.7089,
+# margin 0.7 → 0.8293, margin 0.3 → 0.8445 — the best int8 row, slightly
+# above even maxabs. Genuinely poisoned channels (bulk crushed by a
+# lone-outlier-stretched grid) win by orders of magnitude, far past any
+# reasonable margin.
+AUTO_CALIB_MARGIN = 0.3
+
+
 def calibrate_folded(
-    folded_params, x, ops: list[tuple], *, percentile: float | None = None
+    folded_params, x, ops: list[tuple], *,
+    percentile: float | str | None = None,
 ) -> list[np.ndarray]:
     """Per-position per-CHANNEL activation scale vectors from an f32 folded
     forward.
@@ -51,6 +67,15 @@ def calibrate_folded(
     percentile: None (default) uses exact per-channel maxabs. A value like
     99.99 clips each channel's range to that percentile of |activation| over
     the batch/spatial samples instead — robust to lone outlier pixels.
+    "auto" scores maxabs AND each AUTO_CALIB_PERCENTILES candidate per
+    channel by the actual int8 round-trip MSE on the calibration batch and
+    clips only where decisively better (AUTO_CALIB_MARGIN), else keeps
+    maxabs. The right FIXED choice is
+    checkpoint-dependent — one trained checkpoint collapsed under maxabs
+    (outliers stretch the grid, AP50 0.80→0.21) while another collapsed
+    under p99.99 (clipping destroys real range, 0.86→0.54); the measured
+    quantization error picks the right grid per channel either way
+    (scripts/probe_precision_ap.py on both artifacts).
 
     The whole calibration forward is ONE jitted program returning a single
     concatenated vector (per-op host syncs would cost a device round-trip
@@ -59,10 +84,30 @@ def calibrate_folded(
     from face_vijnana_yolov3_tpu.models.darknet import _conv2d
 
     def stat(h):
-        a = jnp.abs(h)
+        a = jnp.abs(h).reshape(-1, h.shape[-1])
         if percentile is None:
-            return jnp.max(a, axis=tuple(range(a.ndim - 1)))
-        return jnp.percentile(a.reshape(-1, a.shape[-1]), percentile, axis=0)
+            return jnp.max(a, axis=0)
+        if percentile == "auto":
+            cands = jnp.concatenate(
+                [jnp.max(a, axis=0, keepdims=True),
+                 jnp.percentile(a, jnp.asarray(AUTO_CALIB_PERCENTILES),
+                                axis=0)],
+                axis=0,
+            )  # (n_cand, C)
+            s = jnp.maximum(cands, 1e-8)[:, None, :] / 127.0  # (n_cand,1,C)
+            # |x| round-trip error == signed round-trip error (jnp.round is
+            # sign-symmetric), so score on `a` directly. The (n_cand,N,C)
+            # intermediate never materializes: elementwise + mean fuse into
+            # one reduction per candidate.
+            q = jnp.clip(jnp.round(a[None] / s), -127, 127) * s
+            err = jnp.mean(jnp.square(q - a[None]), axis=1)  # (n_cand, C)
+            # Clip only where decisively better than maxabs (row 0).
+            clip_best = jnp.argmin(err[1:], axis=0) + 1
+            clip_err = jnp.take_along_axis(err, clip_best[None], axis=0)[0]
+            pick = jnp.where(clip_err < AUTO_CALIB_MARGIN * err[0],
+                             clip_best, 0)
+            return jnp.take_along_axis(cands, pick[None], axis=0)[0]
+        return jnp.percentile(a, percentile, axis=0)
 
     def fwd(folded_params, x):
         maxes = [stat(x)]
@@ -144,7 +189,7 @@ def tail_start_index(ops: list[tuple], n_blocks: int) -> int:
 
 def quantize_folded(
     folded_params, x_calib, ops: list[tuple], *,
-    percentile: float | None = None, bf16_tail_blocks: int = 0,
+    percentile: float | str | None = None, bf16_tail_blocks: int = 0,
     act_scales: list[np.ndarray] | None = None,
 ) -> dict[str, Any]:
     """folded f32 params + calibration batch -> int8 qparams pytree.

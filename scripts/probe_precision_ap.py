@@ -35,7 +35,8 @@ def main():
         i = args.index("--only")
         only = args[i + 1]
         args = args[:i] + args[i + 2:]
-    pcts = [float(a) for a in args] or [0.0, 99.99, 99.9, 99.5]
+    pcts = [a if a == "auto" else float(a) for a in args] or [
+        0.0, "auto", 99.99, 99.9, 99.5]
     # rows: (precision, int8 pct, int8 bf16-tail, bf16 f32-front, front mode)
     rows = ([("float32", 0.0, 0, 0, "f32")]
             # bf16 f32-front sweep (FdConf.bf16_f32_front; default 2):

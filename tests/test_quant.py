@@ -108,6 +108,51 @@ def test_percentile_calibration_robust_to_outliers(trunk_setup):
     assert s_max[1] < 0.1 and s_max[2] < 0.1
 
 
+def test_auto_calibration_picks_min_error_per_channel(trunk_setup):
+    """percentile="auto" scores maxabs vs the clip candidates by actual int8
+    round-trip MSE per channel: an outlier-poisoned channel gets the clipped
+    scale (maxabs would crush its real range), clean channels keep maxabs
+    (clipping would only add error) — the checkpoint-adaptive behavior that
+    replaced the fragile fixed default (one trained artifact collapsed under
+    maxabs, another under p99.99)."""
+    m, params, state, folded, x = trunk_setup
+    # (a) clean data: auto must match the forward as tightly as maxabs.
+    q_auto = m.quantize(folded, x, percentile="auto")
+    h_f32, _ = m.apply(params, state, x, train=False)
+    h_q = m.apply_quant(q_auto, x, head_dtype=jnp.float32)
+    err = float(np.max(np.abs(np.asarray(h_q) - np.asarray(h_f32))))
+    ref = float(np.max(np.abs(np.asarray(h_f32))))
+    assert err / ref < 0.08, f"rel err {err / ref}"
+
+    # (b) lone hot pixel at a SMALL-N position (2*96*96 samples/channel):
+    # clipping it to the bulk costs out^2/N of error while the stretched
+    # maxabs grid only costs (out/127)^2/12 — maxabs is MSE-optimal whenever
+    # N < 12*127^2 ~ 193k, and auto must agree with it EXACTLY (clean
+    # channels trivially so).
+    x_out = np.asarray(x).copy()
+    x_out[0, 0, 0, 0] = 1000.0
+    s_max = m.quantize(folded, jnp.asarray(x_out))["act_scales"][0]
+    s_auto = m.quantize(folded, jnp.asarray(x_out),
+                        percentile="auto")["act_scales"][0]
+    # with the decisive-margin rule, hairline clip wins on clean channels
+    # also fall back to maxabs — every channel matches maxabs exactly
+    np.testing.assert_allclose(s_auto, s_max)
+
+    # (c) the same lone outlier at a LARGE-N position (1024^2 = 1.05M
+    # samples): clip error out^2/N ~ 8e-4 vs the stretched grid's bulk error
+    # (out/127)^2/12 ~ 4.7e-3 — ratio ~0.17, past the decisive margin, so
+    # auto must clip.
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0.0, 1.0, (1, 1024, 1024, 3)).astype(np.float32)
+    a[0, 0, 0, 0] = 30.0
+    s_auto2 = quant.calibrate_folded(
+        folded, jnp.asarray(a), [], percentile="auto")[0]
+    s_max2 = quant.calibrate_folded(folded, jnp.asarray(a), [])[0]
+    assert s_max2[0] > 0.2          # maxabs grid stretched to ~30/127
+    assert s_auto2[0] < 0.02        # auto clips to the ~1.0 bulk range
+    np.testing.assert_allclose(s_auto2[1:], s_max2[1:])  # clean: exact maxabs
+
+
 def test_fused_residual_requant_matches_unfused(trunk_setup):
     """fuse_residual folds the 23 skip adds into conv epilogues with ONE
     requant to the post-add scale (half the rounding of the unfused form) —
@@ -185,16 +230,16 @@ def test_pipeline_int8_auto_calibration(tmp_path):
 
 
 def test_pipeline_int8_calibration_percentile_plumbing(tmp_path):
-    """conf.int8_calib_percentile reaches model.quantize (default 99.99 —
-    maxabs calibration collapsed AP50 0.80→0.21 on a trained checkpoint from
-    residual-stream activation outliers; scripts/probe_precision_ap.py)."""
+    """conf.int8_calib_percentile reaches model.quantize (default "auto" —
+    fixed choices are checkpoint-dependent: maxabs collapsed one trained
+    artifact, p99.99 another; scripts/probe_precision_ap.py)."""
     from face_vijnana_yolov3_tpu.api.config import FdConf
     from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
 
     seen = {}
     conf = FdConf(weights_path=str(tmp_path / "missing.weights"))
     conf.nn_arch.image_size = 96
-    assert conf.int8_calib_percentile == 99.99  # robust default
+    assert conf.int8_calib_percentile == "auto"  # adaptive default
     fd = FaceDetectorPipeline(conf, precision="int8")
     orig = fd.model.quantize
 
@@ -205,7 +250,7 @@ def test_pipeline_int8_calibration_percentile_plumbing(tmp_path):
     fd.model.quantize = spy
     x = np.random.default_rng(1).uniform(0, 1, (2, 96, 96, 3)).astype(np.float32)
     fd.detect_batch(x)
-    assert seen["percentile"] == 99.99
+    assert seen["percentile"] == "auto"
 
     conf.int8_calib_percentile = 0.0  # maxabs opt-out
     fd2 = FaceDetectorPipeline(conf, precision="int8")
