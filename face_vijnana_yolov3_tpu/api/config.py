@@ -174,6 +174,14 @@ class FiConf:
     # EXPERIMENTAL — measured harmful on the detector twin (see FdConf);
     # keep "f32".
     bf16_front_mode: str = "f32"
+    # Device-fused identification serving (ops/roi.py): per-box crop +
+    # cv2-exact cubic letterbox run as MXU matmuls against the staged
+    # original image, fused with embed + registry match in one program —
+    # host work per box drops from a single-core cv2 cubic resize + f32
+    # crop upload to a ~13 KB tap table. Float-rounding-level parity with
+    # the host path (reference math is f64, this is f32 HIGHEST); default
+    # off = bit-faithful host crops. Env FVY_DEVICE_ROI=1 also enables.
+    device_roi: bool = False
     hps: FiHps = dataclasses.field(default_factory=FiHps)
     nn_arch: FiNNArch = dataclasses.field(default_factory=FiNNArch)
 

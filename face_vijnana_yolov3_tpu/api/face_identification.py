@@ -126,6 +126,7 @@ class FaceIdentifierPipeline:
         # (face_identification.py:373).
         self.fd = FaceDetectorPipeline(self.fd_conf, precision=precision)
         self._embed_cache: dict[int, object] = {}
+        self._roi_cache: dict[tuple, object] = {}
         self._q_embed = None  # int8 qparams, calibrated on first embed batch
 
     # -------------------------------------------------------------- embedding
@@ -274,6 +275,7 @@ class FaceIdentifierPipeline:
             mining=getattr(self.conf, "negative_mining", "random"),
         )
         self._embed_cache.clear()
+        self._roi_cache.clear()  # fused ROI programs capture the embed closure
         # Stale int8 calibration would otherwise keep serving pre-training
         # quantized weights; next embed() re-folds + re-calibrates.
         self._q_embed = None
@@ -389,6 +391,115 @@ class FaceIdentifierPipeline:
             )
         return rows
 
+    def _roi_fused_fn(self, bucket: int, max_h: int, max_w: int, n_reg: int,
+                      staged_dtype):
+        """One jitted program: ROI letterbox matmuls → embed trunk → registry
+        match. Keyed on (ROI bucket, staging dims, registry size, dtype) so a
+        test set reuses a handful of programs."""
+        key = (bucket, max_h, max_w, n_reg, np.dtype(staged_dtype).str)
+        if key not in self._roi_cache:
+            from face_vijnana_yolov3_tpu.ops.roi import roi_letterbox_device
+
+            inner_embed = self._embed_fn(bucket)
+
+            @jax.jit
+            def run(image, ri, rw, ci, cw, reg):
+                crops = roi_letterbox_device(image, ri, rw, ci, cw)
+                emb = inner_embed(crops)
+                return match_embeddings(emb, reg)
+
+            self._roi_cache[key] = run
+        return self._roi_cache[key]
+
+    def _identify_image_device(self, image_o: np.ndarray, boxes: np.ndarray,
+                               subject_ids, reg_dev):
+        """Device-fused twin of `_identify_image`: the crop+cubic-letterbox
+        runs as MXU matmuls against the staged original (ops/roi.py), fused
+        with embed + registry match in one program. Host work per box is a
+        ~13 KB tap table instead of a cv2 cubic resize + f32 crop upload.
+
+        Same observable semantics as the host path (crop window off-by-one,
+        zero-size skip, sim_th gate) at float-rounding parity — the reference
+        host math is f64, this path is f32 HIGHEST.
+        """
+        from face_vijnana_yolov3_tpu.ops.roi import build_roi_taps, zero_taps
+
+        src_h, src_w = image_o.shape[0], image_o.shape[1]
+        keep, ri, rw, ci, cw = build_roi_taps(
+            boxes, src_h, src_w, self.image_size
+        )
+        if not keep:
+            return []
+        n = len(keep)
+
+        # Stage the original once (uint8: 4x less h2d than f32, /255 fuses
+        # into the resize); dims bucket to 128-multiples to bound program
+        # count across a mixed-resolution test set.
+        bh = -(-src_h // 128) * 128
+        bw = -(-src_w // 128) * 128
+        if image_o.dtype == np.uint8:
+            staged = np.zeros((bh, bw, 3), np.uint8)
+        else:
+            staged = np.zeros((bh, bw, 3), np.float32)
+        staged[:src_h, :src_w] = image_o
+
+        bucket = next((b for b in _EMBED_BUCKETS if b >= n),
+                      _EMBED_BUCKETS[-1])
+        total = -(-n // bucket) * bucket  # >bucket ROIs: whole chunks of it
+        if n < total:
+            zri, zrw, zci, zcw = zero_taps(self.image_size)
+            pad = total - n
+            ri = np.concatenate([ri, np.tile(zri, (pad, 1, 1))])
+            rw = np.concatenate([rw, np.tile(zrw, (pad, 1, 1))])
+            ci = np.concatenate([ci, np.tile(zci, (pad, 1, 1))])
+            cw = np.concatenate([cw, np.tile(zcw, (pad, 1, 1))])
+
+        if ((self.precision == "int8" or self._hybrid_front)
+                and self._q_embed is None):
+            # int8 needs calibrated qparams before the embed closure is built;
+            # calibrate on REAL crops via a one-off letterbox-only program.
+            from face_vijnana_yolov3_tpu.ops.roi import roi_letterbox_device
+
+            k = min(16, n)
+            crops = jax.jit(roi_letterbox_device)(
+                jnp.asarray(staged), jnp.asarray(ri[:k]), jnp.asarray(rw[:k]),
+                jnp.asarray(ci[:k]), jnp.asarray(cw[:k])
+            )
+            self.embed(np.asarray(crops))  # triggers calibration
+
+        best_idx = np.zeros((len(ri),), np.int32)
+        best_dist = np.zeros((len(ri),), np.float32)
+        staged_dev = jnp.asarray(staged)
+        for s in range(0, len(ri), bucket):
+            run = self._roi_fused_fn(
+                bucket, bh, bw, int(reg_dev.shape[0]), staged.dtype
+            )
+            bi, bd = run(
+                staged_dev,
+                jnp.asarray(ri[s : s + bucket]), jnp.asarray(rw[s : s + bucket]),
+                jnp.asarray(ci[s : s + bucket]), jnp.asarray(cw[s : s + bucket]),
+                reg_dev,
+            )
+            best_idx[s : s + bucket] = np.asarray(bi)
+            best_dist[s : s + bucket] = np.asarray(bd)
+
+        rows = []
+        for j, k in enumerate(keep):
+            if best_dist[j] > self.hps["sim_th"]:
+                continue
+            rows.append(
+                {
+                    "box_index": k,
+                    "subject_id": subject_ids[int(best_idx[j])],
+                    "xmin": boxes[k, 0],
+                    "ymin": boxes[k, 1],
+                    "xmax": boxes[k, 2],
+                    "ymax": boxes[k, 3],
+                    "score": boxes[k, 4],
+                }
+            )
+        return rows
+
     def _run_identification(self, draw_results: bool):
         import pandas as pd
 
@@ -396,6 +507,11 @@ class FaceIdentifierPipeline:
         output_file_path = self.conf.output_file_path
         file_names = glob.glob(os.path.join(test_path, "*.jpg"))
         subject_ids, reg_embs = self._load_registry()
+        device_roi = (
+            os.environ.get("FVY_DEVICE_ROI") == "1"
+            or getattr(self.conf, "device_roi", False)
+        )
+        reg_dev = jnp.asarray(reg_embs) if device_roi else None
 
         gt_groups = None
         if draw_results:
@@ -417,9 +533,14 @@ class FaceIdentifierPipeline:
                 if DEBUG:
                     print(count1, "/", len(file_names), fn)
                 count1 += 1
-                rows = self._identify_image(
-                    image_o, boxes, subject_ids, reg_embs
-                )
+                if device_roi:
+                    rows = self._identify_image_device(
+                        image_o, boxes, subject_ids, reg_dev
+                    )
+                else:
+                    rows = self._identify_image(
+                        image_o, boxes, subject_ids, reg_embs
+                    )
                 base = fn.split(os.sep)[-1]
                 # Reference caps WRITTEN rows at 60 but iterates all boxes —
                 # unmatched boxes don't consume the budget

@@ -1,0 +1,169 @@
+"""Device ROI pipeline: face-crop + cv2-exact cubic letterbox as MXU matmuls.
+
+The reference identification path crops each detected face from the ORIGINAL
+image with an off-by-one numpy slice, /255-normalizes, INTER_CUBIC-letterboxes
+to 416², and embeds one crop per device round trip (reference
+src/space/face_identification.py:872-915). The repo's host path already
+batches the embeds; this module moves the crop+resize on device too:
+
+* The crop window folds into per-ROI letterbox *tap tables* (host work: ~26
+  ints/floats per output row — microseconds, and only ~13 KB/ROI shipped to
+  the device instead of a 416²×3 f32 crop, 160x less).
+* On device the taps expand into dense (S, maxH)/(S, maxW) resize matrices
+  (one_hot + reduce — a vectorized scatter) applied as two einsum passes
+  against the staged original image: crop, replicate-border cubic resize, pad
+  band and /255 all fall out of the same pair of matmuls on the MXU. The crop
+  never materializes anywhere.
+* Downstream (embed trunk + registry match) fuses into the same jitted
+  program — detect boxes in, (best_idx, best_dist) out.
+
+Numeric contract: taps reuse `ops.resize.cubic_taps` (OpenCV a=-0.75 kernel,
+reciprocal-scale mapping), and BORDER_REPLICATE clamps at the *crop* edges —
+indices clamp within [0, crop-1] before the window offset is added — exactly
+like resizing the materialized crop. The host reference path computes in
+float64 (uint8/255 → numpy f64 → cv2 f64 resize); this path is f32 at
+Precision.HIGHEST, so parity is float-rounding-level, not bit-level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_geometry
+from face_vijnana_yolov3_tpu.ops.resize import apply_matrices, cubic_taps
+
+
+def roi_window(l: int, t: int, r: int, b: int, src_h: int, src_w: int):
+    """Exact reference crop-window semantics (face_identification.py:872-873):
+    `image[(t-1):(b-1), (l-1):(r-1)]` with python slice rules.
+
+    The off-by-one makes t==0 / l==0 wrap to a start of src-1 (an empty or
+    near-empty slice the reference then skips via the zero-size check), so the
+    wrap is reproduced rather than clamped.
+
+    Returns (y0, x0, crop_h, crop_w); crop_h<=0 or crop_w<=0 means an empty
+    crop the caller must skip (reference :874-877 `continue`).
+    """
+
+    def axis(start: int, stop: int, n: int):
+        s = start if start >= 0 else start + n
+        s = min(max(s, 0), n)
+        e = stop if stop >= 0 else stop + n
+        e = min(max(e, 0), n)
+        return s, e - s
+
+    y0, crop_h = axis(t - 1, b - 1, src_h)
+    x0, crop_w = axis(l - 1, r - 1, src_w)
+    return y0, x0, crop_h, crop_w
+
+
+def roi_letterbox_taps(y0: int, x0: int, crop_h: int, crop_w: int,
+                       image_size: int):
+    """Cubic letterbox tap tables for one crop window, addressing the FULL
+    staged image (row indices offset by y0, col indices by x0).
+
+    Returns (row_idx (S,4) i32, row_w (S,4) f32, col_idx, col_w). Pad-band
+    rows/cols carry zero weight (black border). Zero-size windows are the
+    caller's responsibility (`roi_window` flags them).
+    """
+    geom = letterbox_geometry(crop_h, crop_w, image_size)
+
+    def one(origin: int, src: int, new: int, pad: int):
+        idx = np.zeros((image_size, 4), np.int32)
+        w = np.zeros((image_size, 4), np.float32)
+        ti, tw = cubic_taps(src, new)  # replicate-clamped to the CROP edges
+        idx[pad : pad + new] = ti + origin
+        w[pad : pad + new] = tw
+        return idx, w
+
+    ri, rw = one(y0, crop_h, geom.new_h, geom.pad_t)
+    ci, cw = one(x0, crop_w, geom.new_w, geom.pad_l)
+    return ri, rw, ci, cw
+
+
+def zero_taps(image_size: int):
+    """All-zero tap tables (black output) — ROI-chunk padding filler."""
+    z_i = np.zeros((image_size, 4), np.int32)
+    z_w = np.zeros((image_size, 4), np.float32)
+    return z_i, z_w, z_i.copy(), z_w.copy()
+
+
+def _mat_from_taps(idx: jnp.ndarray, w: jnp.ndarray, in_size: int):
+    """(S,T) tap tables → dense (S,in_size) resize matrix on device.
+
+    one_hot + reduce is the vectorized-scatter form: duplicate indices (edge
+    replication) sum their weights, matching `resize.taps_to_matrix`'s
+    np.add.at exactly.
+    """
+    oh = jax.nn.one_hot(idx, in_size, dtype=w.dtype)  # (S, T, in)
+    return jnp.einsum("st,sti->si", w, oh)
+
+
+def roi_letterbox_device(
+    image: jnp.ndarray,
+    row_idx: jnp.ndarray,
+    row_w: jnp.ndarray,
+    col_idx: jnp.ndarray,
+    col_w: jnp.ndarray,
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """All ROIs of ONE staged image → letterboxed crops, on device.
+
+    Args:
+      image: (maxH, maxW, 3) staged original — uint8 raw pixels (preferred;
+        the /255 fuses into the resize matmul) or float32 already in [0,1].
+      row_idx/row_w/col_idx/col_w: (R, S, 4) stacked per-ROI tap tables from
+        `roi_letterbox_taps`.
+      precision: HIGHEST keeps the f32 resize matmuls cv2-faithful (the TPU
+        default would round them to bf16 — CLAUDE.md precision contract).
+
+    Returns:
+      (R, S, S, 3) float32 crops in [0,1].
+    """
+    if image.dtype == jnp.uint8:
+        img = image.astype(jnp.float32) * (1.0 / 255.0)
+    else:
+        img = image.astype(jnp.float32)
+    max_h, max_w = image.shape[0], image.shape[1]
+
+    def one(ri, rw, ci, cw):
+        rm = _mat_from_taps(ri, rw, max_h)
+        cm = _mat_from_taps(ci, cw, max_w)
+        return apply_matrices(img, rm, cm, precision=precision)
+
+    return jax.vmap(one)(row_idx, row_w, col_idx, col_w)
+
+
+def build_roi_taps(boxes: np.ndarray, src_h: int, src_w: int, image_size: int):
+    """Host side for a batch of detect boxes: windows → stacked tap tables.
+
+    Args:
+      boxes: (N, >=4) float rows [xmin, ymin, xmax, ymax, ...] in original
+        image coords (the detect pipeline's un-letterboxed output).
+
+    Returns:
+      (keep, row_idx (K,S,4), row_w, col_idx, col_w) where `keep` lists the
+      box indices whose crop is non-empty, in order.
+    """
+    keep: list[int] = []
+    tabs: list[tuple] = []
+    for k in range(boxes.shape[0]):
+        l, t, r, b = (int(boxes[k, 0]), int(boxes[k, 1]),
+                      int(boxes[k, 2]), int(boxes[k, 3]))
+        y0, x0, ch, cw = roi_window(l, t, r, b, src_h, src_w)
+        if ch <= 0 or cw <= 0:
+            continue
+        keep.append(k)
+        tabs.append(roi_letterbox_taps(y0, x0, ch, cw, image_size))
+    if not keep:
+        z = np.zeros((0, image_size, 4), np.int32)
+        zw = np.zeros((0, image_size, 4), np.float32)
+        return keep, z, zw, z.copy(), zw.copy()
+    ri = np.stack([t[0] for t in tabs])
+    rw = np.stack([t[1] for t in tabs])
+    ci = np.stack([t[2] for t in tabs])
+    cw_ = np.stack([t[3] for t in tabs])
+    return keep, ri, rw, ci, cw_

@@ -1,0 +1,252 @@
+"""Device ROI pipeline tests: crop-window semantics, crop parity vs the host
+cv2 path, and the fused identify path vs the host `_identify_image`."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_host
+from face_vijnana_yolov3_tpu.ops.roi import (
+    build_roi_taps,
+    roi_letterbox_device,
+    roi_window,
+)
+
+
+@pytest.mark.parametrize(
+    "l,t,r,b",
+    [
+        (40, 30, 110, 90),   # interior box
+        (1, 1, 50, 40),      # top-left corner (t-1 = l-1 = 0)
+        (0, 30, 110, 90),    # l == 0: off-by-one wraps (reference quirk)
+        (40, 0, 110, 90),    # t == 0: same on rows
+        (150, 100, 200, 150),  # flush with the far edges (r=W, b=H)
+        (40, 30, 40, 90),    # zero width
+        (40, 30, 110, 30),   # zero height
+        (0, 0, 0, 0),        # degenerate all-zero box
+        (199, 149, 200, 150),  # 1x1 crop at the far corner
+    ],
+)
+def test_roi_window_matches_numpy_slice(l, t, r, b):
+    """roi_window reproduces `image[(t-1):(b-1), (l-1):(r-1)]` exactly,
+    including the python-slice wrap when t or l is 0
+    (reference face_identification.py:872-877)."""
+    H, W = 150, 200
+    img = np.arange(H * W).reshape(H, W)
+    want = img[(t - 1):(b - 1), (l - 1):(r - 1)]
+    y0, x0, ch, cw = roi_window(l, t, r, b, H, W)
+    assert (max(ch, 0), max(cw, 0)) == want.shape
+    if ch > 0 and cw > 0:
+        np.testing.assert_array_equal(img[y0:y0 + ch, x0:x0 + cw], want)
+
+
+def test_roi_crops_match_host_crop_letterbox():
+    """Device crop+cubic-letterbox == host numpy-slice + letterbox_host.
+
+    The host path runs /255 in f64 then cv2 f64 cubic; the device path is f32
+    HIGHEST matmuls — parity is float-rounding level.
+    """
+    rng = np.random.default_rng(7)
+    H, W, S = 150, 200, 64
+    img = rng.integers(0, 256, size=(H, W, 3)).astype(np.uint8)
+    boxes = np.array(
+        [
+            [40, 30, 110, 90, 0.9],
+            [1, 1, 50, 40, 0.8],
+            [150, 100, 200, 150, 0.7],
+            [10, 90, 180, 100, 0.6],   # wide/thin: portrait letterbox branch
+            [199, 149, 200, 150, 0.5],  # 1x1 crop
+        ],
+        np.float64,
+    )
+    keep, ri, rw, ci, cw = build_roi_taps(boxes, H, W, S)
+    assert keep == [0, 1, 2, 3, 4]
+    crops = np.asarray(
+        jax.jit(roi_letterbox_device)(
+            jnp.asarray(img), jnp.asarray(ri), jnp.asarray(rw),
+            jnp.asarray(ci), jnp.asarray(cw),
+        )
+    )
+    for j, k in enumerate(keep):
+        l, t, r, b = (int(boxes[k, 0]), int(boxes[k, 1]),
+                      int(boxes[k, 2]), int(boxes[k, 3]))
+        host_crop = img[(t - 1):(b - 1), (l - 1):(r - 1), :]
+        want, _ = letterbox_host(host_crop / 255, S, "cubic")
+        assert np.abs(crops[j] - want).max() < 3e-6
+
+
+def test_roi_staged_padding_does_not_change_crops():
+    """Taps carry zero weight outside the image region, so staging-buffer
+    padding (the 128-multiple bucketing) must not leak garbage into crops.
+    Only f32 summation ORDER changes with the staging width (the resize
+    matmul reduces over the full staged axis), so parity is ~1-ulp, not
+    bit-exact."""
+    rng = np.random.default_rng(11)
+    H, W, S = 150, 200, 64
+    img = rng.integers(0, 256, size=(H, W, 3)).astype(np.uint8)
+    boxes = np.array([[40, 30, 110, 90, 0.9]], np.float64)
+    _, ri, rw, ci, cw = build_roi_taps(boxes, H, W, S)
+
+    def run(staged):
+        return np.asarray(
+            jax.jit(roi_letterbox_device)(
+                jnp.asarray(staged), jnp.asarray(ri), jnp.asarray(rw),
+                jnp.asarray(ci), jnp.asarray(cw),
+            )
+        )
+
+    tight = run(img)
+    staged = np.full((256, 256, 3), 255, np.uint8)  # garbage in the pad
+    staged[:H, :W] = img
+    padded = run(staged)
+    np.testing.assert_allclose(tight, padded, atol=1e-6)
+
+
+def _fi_pipeline(tmp_path, image_size=64):
+    from face_vijnana_yolov3_tpu.api.config import Conf
+    from face_vijnana_yolov3_tpu.api.face_identification import (
+        FaceIdentifierPipeline,
+    )
+
+    conf = Conf()
+    conf.fi_conf.raw_data_path = str(tmp_path)
+    conf.fi_conf.weights_path = "missing.weights"
+    conf.fi_conf.nn_arch.image_size = image_size
+    conf.fi_conf.nn_arch.dense1_dim = 8
+    conf.fi_conf.hps.sim_th = 10.0
+    conf.fd_conf.weights_path = "missing.weights"
+    conf.fd_conf.nn_arch.image_size = image_size
+    return FaceIdentifierPipeline(conf)
+
+
+def test_identify_image_device_matches_host(tmp_path):
+    """The fused device identify path makes the same decisions as the host
+    path: same boxes kept/skipped, same subjects, distances at float parity."""
+    fi = _fi_pipeline(tmp_path)
+    rng = np.random.default_rng(3)
+    image_o = rng.integers(0, 256, size=(150, 200, 3)).astype(np.uint8)
+    boxes = np.array(
+        [
+            [40.0, 30.0, 110.0, 90.0, 0.9],
+            [0.0, 0.0, 0.0, 0.0, 0.5],    # degenerate: skipped by both
+            [0.0, 30.0, 110.0, 90.0, 0.4],  # l==0 wrap: empty, skipped
+            [5.0, 10.0, 60.0, 70.0, 0.8],
+        ],
+        np.float64,
+    )
+    # Registry anchored at crop 0's embedding so matches are deterministic.
+    crop = image_o[29:89, 39:109, :]
+    lb, _ = letterbox_host(crop / 255, 64, "cubic")
+    emb = fi.embed(lb[None].astype(np.float32))[0]
+    reg = np.stack([emb, -emb]).astype(np.float32)
+    subject_ids = ["alice", "bob"]
+
+    host_rows = fi._identify_image(image_o, boxes, subject_ids, reg)
+    dev_rows = fi._identify_image_device(
+        image_o, boxes, subject_ids, jnp.asarray(reg)
+    )
+    assert [r["box_index"] for r in dev_rows] == [
+        r["box_index"] for r in host_rows
+    ]
+    assert [r["subject_id"] for r in dev_rows] == [
+        r["subject_id"] for r in host_rows
+    ]
+    for hr, dr in zip(host_rows, dev_rows):
+        for key in ("xmin", "ymin", "xmax", "ymax", "score"):
+            assert hr[key] == dr[key]
+
+    # sim gate applies identically
+    fi.hps["sim_th"] = -1.0
+    assert fi._identify_image_device(
+        image_o, boxes, subject_ids, jnp.asarray(reg)
+    ) == []
+
+
+def test_identify_device_roi_bucketing(tmp_path):
+    """More ROIs than the largest embed bucket still processes every box
+    (chunked program reuse), and padding ROIs never leak into results."""
+    fi = _fi_pipeline(tmp_path)
+    rng = np.random.default_rng(5)
+    image_o = rng.integers(0, 256, size=(300, 300, 3)).astype(np.uint8)
+    n = 70  # > _EMBED_BUCKETS[-1] = 64
+    boxes = np.zeros((n, 5))
+    for k in range(n):
+        x = 1 + (k * 3) % 200
+        y = 1 + (k * 7) % 200
+        boxes[k] = [x, y, x + 40, y + 40, 0.9]
+    reg = np.eye(2, 8, dtype=np.float32)
+    rows = fi._identify_image_device(
+        image_o, boxes, ["a", "b"], jnp.asarray(reg)
+    )
+    assert len(rows) == n
+    host = fi._identify_image(image_o, boxes, ["a", "b"], reg)
+    assert [r["subject_id"] for r in rows] == [r["subject_id"] for r in host]
+
+
+def test_run_identification_device_roi_e2e(tmp_path, monkeypatch):
+    """FVY_DEVICE_ROI=1 drives evaluate end-to-end through the fused path and
+    produces the same solution_fi.csv as the host path."""
+    import os
+    import pandas as pd
+    from face_vijnana_yolov3_tpu.data.facedb import create_subject_db_uccs
+    from face_vijnana_yolov3_tpu.utils.io import imsave
+
+    rng = np.random.default_rng(0)
+    train_dir = tmp_path / "training"
+    train_dir.mkdir()
+    rows = []
+    fid = 0
+    for s in range(2):
+        for k in range(3):
+            name = f"s{s}_{k}.jpg"
+            imsave(str(train_dir / name),
+                   rng.integers(0, 256, (120, 160, 3)).astype(np.uint8))
+            rows.append({"FACE_ID": fid, "FILE": name, "SUBJECT_ID": s + 1,
+                         "FACE_X": 30 + s * 5, "FACE_Y": 20,
+                         "FACE_WIDTH": 60, "FACE_HEIGHT": 50})
+            fid += 1
+    df = pd.DataFrame(rows)
+    df.to_csv(train_dir / "training.csv", index=False)
+    df.to_csv(train_dir / "validation.csv", index=False)
+    monkeypatch.chdir(tmp_path)
+    create_subject_db_uccs(str(tmp_path), image_size=64)
+
+    from face_vijnana_yolov3_tpu.api.config import Conf
+    from face_vijnana_yolov3_tpu.api.face_identification import (
+        FaceIdentifierPipeline,
+    )
+
+    conf = Conf()
+    conf.fi_conf.raw_data_path = str(tmp_path)
+    conf.fi_conf.test_path = str(train_dir)
+    conf.fi_conf.weights_path = "missing.weights"
+    conf.fi_conf.nn_arch.image_size = 64
+    conf.fi_conf.nn_arch.dense1_dim = 8
+    conf.fi_conf.hps.sim_th = 10.0
+    conf.fd_conf.weights_path = "missing.weights"
+    conf.fd_conf.nn_arch.image_size = 64
+    conf.fd_conf.hps.face_conf_th = 0.05
+    conf.fd_conf.hps.batch_size = 4
+
+    fi = FaceIdentifierPipeline(conf)
+    fi.make_facial_ids_db()
+    fi.register_facial_ids()
+
+    conf.fi_conf.output_file_path = str(tmp_path / "sol_host.csv")
+    fi.test()
+    host_sol = open(tmp_path / "sol_host.csv").read()
+
+    conf.fi_conf.output_file_path = str(tmp_path / "sol_dev.csv")
+    monkeypatch.setenv("FVY_DEVICE_ROI", "1")
+    fi.test()
+    dev_sol = open(tmp_path / "sol_dev.csv").read()
+
+    def parse(s):
+        return [ln.split(",")[:2] for ln in s.strip().splitlines()]
+
+    # file + subject decisions identical; coords are copied from the same
+    # detect output so the full rows match too
+    assert parse(dev_sol) == parse(host_sol)
+    assert dev_sol == host_sol
