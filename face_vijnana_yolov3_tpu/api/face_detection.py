@@ -342,7 +342,8 @@ class FaceDetectorPipeline:
 
     def detect_batch_fused(self, staged: np.ndarray, geoms: list,
                            pad_batch_to: int | None = None,
-                           dec_dims: np.ndarray | None = None):
+                           dec_dims: np.ndarray | None = None,
+                           return_staged: bool = False):
         """Fused strict letterbox + detect, entirely on device.
 
         `staged` is (B, maxH, maxW, 3) images packed top-left — uint8 raw
@@ -368,6 +369,10 @@ class FaceDetectorPipeline:
         at a reduced DCT scale (native_loader.decode_batch_staged_scaled) —
         geoms stay in ORIGINAL coords (box un-mapping unchanged), only the
         resize matrices read the scaled source. Not bit-exact vs full decode.
+
+        return_staged: also return the padded device staging buffer the
+        program read, so downstream device consumers (the FI ROI path,
+        ops/roi.py) reuse it instead of re-uploading the originals.
         """
         from face_vijnana_yolov3_tpu.ops.resize import (
             letterbox_matrices,
@@ -378,8 +383,9 @@ class FaceDetectorPipeline:
         if n_real == 0:
             # empty staged chunk: nothing to pad against (geoms[-1] below
             # would raise); return matching empty (cands, counts)
-            return (np.zeros((0, self.hps["num_cands"], 6), np.float32),
-                    np.zeros((0,), np.int32))
+            empty = (np.zeros((0, self.hps["num_cands"], 6), np.float32),
+                     np.zeros((0,), np.int32))
+            return empty + (None,) if return_staged else empty
         bucket_h = -(-staged.shape[1] // 128) * 128
         bucket_w = -(-staged.shape[2] // 128) * 128
         pad_b = max(pad_batch_to or 0, n_real)
@@ -462,20 +468,30 @@ class FaceDetectorPipeline:
                 return inner(lb)
 
             self._fused_cache[key] = fused
+        staged_dev = jnp.asarray(staged)
         cands, counts = self._fused_cache[key](
-            jnp.asarray(staged), jnp.asarray(row_ms), jnp.asarray(col_ms)
+            staged_dev, jnp.asarray(row_ms), jnp.asarray(col_ms)
         )
-        return np.asarray(cands)[:n_real], np.asarray(counts)[:n_real]
+        out = (np.asarray(cands)[:n_real], np.asarray(counts)[:n_real])
+        return out + (staged_dev,) if return_staged else out
 
     def _iter_detections(self, file_names: list[str], batch_size: int,
                          device_letterbox: bool | None = None,
-                         scaled_decode: bool | None = None):
+                         scaled_decode: bool | None = None,
+                         yield_staged: bool = False):
         """Letterbox + detect in device batches; yields per-image results.
 
         Yields (file_name, original_image, geom, boxes_in_original_coords) where
         boxes rows are [xmin,ymin,xmax,ymax,score] floats in original coords.
         device_letterbox=True routes preprocessing through the fused on-device
         strict letterbox (default: env FVY_DEVICE_LETTERBOX=1).
+
+        yield_staged=True appends a 5th element: the image's row of the
+        device staging buffer the fused detect read (full-resolution pixels
+        at the top-left), for downstream device consumers (FI ROI embed) to
+        reuse without a second host->device upload — or None on the paths
+        that have no full-res staged buffer (host letterbox; scaled decode,
+        whose staged pixels are NOT original-coordinate).
 
         scaled_decode=True additionally decodes JPEGs at a reduced DCT scale
         (libjpeg scale_num/8, native loader) — ~4x less host decode work for
@@ -562,6 +578,7 @@ class FaceDetectorPipeline:
             load_chunk, len(chunks), prefetch=2, device_put=False
         )
         for chunk, (kind, batch, geoms, originals) in zip(chunks, loaded):
+            staged_dev = None
             if kind == "staged_scaled":
                 staged_u8, dec_dims = batch
                 cands, counts = self.detect_batch_fused(
@@ -569,9 +586,15 @@ class FaceDetectorPipeline:
                     dec_dims=dec_dims,
                 )
             elif kind == "staged":
-                cands, counts = self.detect_batch_fused(
-                    batch, geoms, pad_batch_to=batch_size
-                )
+                if yield_staged:
+                    cands, counts, staged_dev = self.detect_batch_fused(
+                        batch, geoms, pad_batch_to=batch_size,
+                        return_staged=True,
+                    )
+                else:
+                    cands, counts = self.detect_batch_fused(
+                        batch, geoms, pad_batch_to=batch_size
+                    )
             else:
                 cands, counts = self.detect_batch(batch)
             for k, fn in enumerate(chunk):
@@ -581,7 +604,12 @@ class FaceDetectorPipeline:
                 if self.conf.apply_face_region_ratio:
                     boxes = self._correct_aspect_ratio(boxes)
                 out = np.concatenate([boxes, rows[:, 5:6].astype(np.float64)], axis=1)
-                yield fn, originals[k], geoms[k], out
+                if yield_staged:
+                    row_dev = (staged_dev[k]
+                               if staged_dev is not None else None)
+                    yield fn, originals[k], geoms[k], out, row_dev
+                else:
+                    yield fn, originals[k], geoms[k], out
 
     def _correct_aspect_ratio(self, boxes: np.ndarray) -> np.ndarray:
         """Docker-variant aspect correction (docker/code/face_detection.py:

@@ -412,11 +412,15 @@ class FaceIdentifierPipeline:
         return self._roi_cache[key]
 
     def _identify_image_device(self, image_o: np.ndarray, boxes: np.ndarray,
-                               subject_ids, reg_dev):
+                               subject_ids, reg_dev, staged_dev=None):
         """Device-fused twin of `_identify_image`: the crop+cubic-letterbox
         runs as MXU matmuls against the staged original (ops/roi.py), fused
         with embed + registry match in one program. Host work per box is a
         ~13 KB tap table instead of a cv2 cubic resize + f32 crop upload.
+
+        staged_dev: the image's row of the detect pass's device staging
+        buffer (detect_batch_fused return_staged) — the originals then never
+        upload a second time; omitted, the image stages here.
 
         Same observable semantics as the host path (crop window off-by-one,
         zero-size skip, sim_th gate) at float-rounding parity — the reference
@@ -432,16 +436,22 @@ class FaceIdentifierPipeline:
             return []
         n = len(keep)
 
-        # Stage the original once (uint8: 4x less h2d than f32, /255 fuses
-        # into the resize); dims bucket to 128-multiples to bound program
-        # count across a mixed-resolution test set.
-        bh = -(-src_h // 128) * 128
-        bw = -(-src_w // 128) * 128
-        if image_o.dtype == np.uint8:
-            staged = np.zeros((bh, bw, 3), np.uint8)
+        if staged_dev is not None:
+            staged = staged_dev
+            bh, bw = int(staged.shape[0]), int(staged.shape[1])
+            staged_np_dtype = np.dtype(str(staged.dtype))
         else:
-            staged = np.zeros((bh, bw, 3), np.float32)
-        staged[:src_h, :src_w] = image_o
+            # Stage the original once (uint8: 4x less h2d than f32, /255
+            # fuses into the resize); dims bucket to 128-multiples to bound
+            # program count across a mixed-resolution test set.
+            bh = -(-src_h // 128) * 128
+            bw = -(-src_w // 128) * 128
+            if image_o.dtype == np.uint8:
+                staged = np.zeros((bh, bw, 3), np.uint8)
+            else:
+                staged = np.zeros((bh, bw, 3), np.float32)
+            staged[:src_h, :src_w] = image_o
+            staged_np_dtype = staged.dtype
 
         bucket = next((b for b in _EMBED_BUCKETS if b >= n),
                       _EMBED_BUCKETS[-1])
@@ -469,13 +479,13 @@ class FaceIdentifierPipeline:
 
         best_idx = np.zeros((len(ri),), np.int32)
         best_dist = np.zeros((len(ri),), np.float32)
-        staged_dev = jnp.asarray(staged)
+        staged_dev2 = jnp.asarray(staged)
         for s in range(0, len(ri), bucket):
             run = self._roi_fused_fn(
-                bucket, bh, bw, int(reg_dev.shape[0]), staged.dtype
+                bucket, bh, bw, int(reg_dev.shape[0]), staged_np_dtype
             )
             bi, bd = run(
-                staged_dev,
+                staged_dev2,
                 jnp.asarray(ri[s : s + bucket]), jnp.asarray(rw[s : s + bucket]),
                 jnp.asarray(ci[s : s + bucket]), jnp.asarray(cw[s : s + bucket]),
                 reg_dev,
@@ -525,17 +535,24 @@ class FaceIdentifierPipeline:
         count1 = 1
         with open(output_file_path, "w") as f:
             # scaled_decode=False: the crop-from-original quirk (and result
-            # drawing) needs full-resolution pixels
-            for fn, image_o, _geom, boxes in self.fd._iter_detections(
+            # drawing) needs full-resolution pixels. yield_staged lets the
+            # device ROI path reuse the detect pass's staging buffer (one
+            # upload per image total).
+            for det in self.fd._iter_detections(
                 file_names, int(vars(self.fd_conf.hps)["batch_size"]),
-                scaled_decode=False,
+                scaled_decode=False, yield_staged=device_roi,
             ):
+                if device_roi:
+                    fn, image_o, _geom, boxes, staged_row = det
+                else:
+                    fn, image_o, _geom, boxes = det
                 if DEBUG:
                     print(count1, "/", len(file_names), fn)
                 count1 += 1
                 if device_roi:
                     rows = self._identify_image_device(
-                        image_o, boxes, subject_ids, reg_dev
+                        image_o, boxes, subject_ids, reg_dev,
+                        staged_dev=staged_row,
                     )
                 else:
                     rows = self._identify_image(

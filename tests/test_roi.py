@@ -164,6 +164,32 @@ def test_identify_image_device_matches_host(tmp_path):
     ) == []
 
 
+def test_identify_image_device_staged_reuse(tmp_path):
+    """Passing the detect pass's device staging row (staged_dev) gives the
+    same rows as letting the ROI path stage the image itself."""
+    fi = _fi_pipeline(tmp_path)
+    rng = np.random.default_rng(9)
+    image_o = rng.integers(0, 256, size=(150, 200, 3)).astype(np.uint8)
+    boxes = np.array(
+        [[40.0, 30.0, 110.0, 90.0, 0.9], [5.0, 10.0, 60.0, 70.0, 0.8]],
+        np.float64,
+    )
+    reg = np.eye(2, 8, dtype=np.float32)
+    reg_dev = jnp.asarray(reg)
+    rows_a = fi._identify_image_device(image_o, boxes, ["a", "b"], reg_dev)
+    staged = np.zeros((256, 256, 3), np.uint8)
+    staged[:150, :200] = image_o
+    rows_b = fi._identify_image_device(
+        image_o, boxes, ["a", "b"], reg_dev, staged_dev=jnp.asarray(staged)
+    )
+    assert [r["subject_id"] for r in rows_a] == [
+        r["subject_id"] for r in rows_b
+    ]
+    assert [r["box_index"] for r in rows_a] == [
+        r["box_index"] for r in rows_b
+    ]
+
+
 def test_identify_device_roi_bucketing(tmp_path):
     """More ROIs than the largest embed bucket still processes every box
     (chunked program reuse), and padding ROIs never leak into results."""
@@ -250,3 +276,12 @@ def test_run_identification_device_roi_e2e(tmp_path, monkeypatch):
     # detect output so the full rows match too
     assert parse(dev_sol) == parse(host_sol)
     assert dev_sol == host_sol
+
+    # With the device letterbox on too, the ROI path reuses the detect
+    # staging buffer (one upload per image); boxes come from the device
+    # letterbox (float-parity, not bit-exact), so compare decisions only.
+    conf.fi_conf.output_file_path = str(tmp_path / "sol_dev2.csv")
+    monkeypatch.setenv("FVY_DEVICE_LETTERBOX", "1")
+    fi.test()
+    dev2_sol = open(tmp_path / "sol_dev2.csv").read()
+    assert parse(dev2_sol) == parse(host_sol)
