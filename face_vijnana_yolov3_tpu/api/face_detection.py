@@ -475,20 +475,20 @@ class FaceDetectorPipeline:
         out = (np.asarray(cands)[:n_real], np.asarray(counts)[:n_real])
         return out + (staged_dev,) if return_staged else out
 
-    def _iter_detections(self, file_names: list[str], batch_size: int,
-                         device_letterbox: bool | None = None,
-                         scaled_decode: bool | None = None,
-                         yield_staged: bool = False):
-        """Letterbox + detect in device batches; yields per-image results.
+    def _iter_detection_chunks(self, file_names: list[str], batch_size: int,
+                               device_letterbox: bool | None = None,
+                               scaled_decode: bool | None = None,
+                               yield_staged: bool = False):
+        """Letterbox + detect in device batches; yields per-CHUNK results.
 
-        Yields (file_name, original_image, geom, boxes_in_original_coords) where
-        boxes rows are [xmin,ymin,xmax,ymax,score] floats in original coords.
-        device_letterbox=True routes preprocessing through the fused on-device
-        strict letterbox (default: env FVY_DEVICE_LETTERBOX=1).
+        Yields (chunk_files, originals, geoms, boxes_list, staged_dev) where
+        boxes_list[k] rows are [xmin,ymin,xmax,ymax,score] floats in original
+        coords. device_letterbox=True routes preprocessing through the fused
+        on-device strict letterbox (default: env FVY_DEVICE_LETTERBOX=1).
 
-        yield_staged=True appends a 5th element: the image's row of the
-        device staging buffer the fused detect read (full-resolution pixels
-        at the top-left), for downstream device consumers (FI ROI embed) to
+        yield_staged=True makes staged_dev the (B,maxH,maxW,3) device staging
+        buffer the fused detect read (full-resolution pixels at each row's
+        top-left), for downstream device consumers (the FI ROI embed) to
         reuse without a second host->device upload — or None on the paths
         that have no full-res staged buffer (host letterbox; scaled decode,
         whose staged pixels are NOT original-coordinate).
@@ -597,19 +597,40 @@ class FaceDetectorPipeline:
                     )
             else:
                 cands, counts = self.detect_batch(batch)
-            for k, fn in enumerate(chunk):
+            boxes_list = []
+            for k in range(len(chunk)):
                 n = int(counts[k])
                 rows = cands[k, :n]
                 boxes = unletterbox_boxes(rows[:, :4].astype(np.float64), geoms[k])
                 if self.conf.apply_face_region_ratio:
                     boxes = self._correct_aspect_ratio(boxes)
-                out = np.concatenate([boxes, rows[:, 5:6].astype(np.float64)], axis=1)
+                boxes_list.append(
+                    np.concatenate(
+                        [boxes, rows[:, 5:6].astype(np.float64)], axis=1
+                    )
+                )
+            yield chunk, originals, geoms, boxes_list, staged_dev
+
+    def _iter_detections(self, file_names: list[str], batch_size: int,
+                         device_letterbox: bool | None = None,
+                         scaled_decode: bool | None = None,
+                         yield_staged: bool = False):
+        """Per-image view of `_iter_detection_chunks`: yields
+        (file_name, original_image, geom, boxes) — plus the image's staging
+        row when yield_staged=True (None where no staged buffer exists)."""
+        for chunk, originals, geoms, boxes_list, staged_dev in (
+            self._iter_detection_chunks(
+                file_names, batch_size, device_letterbox=device_letterbox,
+                scaled_decode=scaled_decode, yield_staged=yield_staged,
+            )
+        ):
+            for k, fn in enumerate(chunk):
                 if yield_staged:
                     row_dev = (staged_dev[k]
                                if staged_dev is not None else None)
-                    yield fn, originals[k], geoms[k], out, row_dev
+                    yield fn, originals[k], geoms[k], boxes_list[k], row_dev
                 else:
-                    yield fn, originals[k], geoms[k], out
+                    yield fn, originals[k], geoms[k], boxes_list[k]
 
     def _correct_aspect_ratio(self, boxes: np.ndarray) -> np.ndarray:
         """Docker-variant aspect correction (docker/code/face_detection.py:

@@ -391,74 +391,125 @@ class FaceIdentifierPipeline:
             )
         return rows
 
-    def _roi_fused_fn(self, bucket: int, max_h: int, max_w: int, n_reg: int,
-                      staged_dtype):
-        """One jitted program: ROI letterbox matmuls → embed trunk → registry
-        match. Keyed on (ROI bucket, staging dims, registry size, dtype) so a
-        test set reuses a handful of programs."""
-        key = (bucket, max_h, max_w, n_reg, np.dtype(staged_dtype).str)
+    def _roi_fused_fn(self, bucket: int, n_sub: int, n_images: int,
+                      max_h: int, max_w: int, window_h: int, window_w: int,
+                      n_reg: int, staged_dtype):
+        """ONE jitted program per detect chunk: per-ROI dynamic-slice window
+        → letterbox matmuls → embed trunk → registry match, with an internal
+        `lax.map` over `n_sub` sub-batches of `bucket` ROIs (bounds peak
+        memory at the bucket level while keeping the whole chunk in a single
+        dispatch — per-call RPC latency over the tunneled device is ~100 ms).
+        Inputs arrive as one packed f32 array (ops/roi.pack_roi_operands),
+        outputs leave as one (n_sub, bucket, 2) array: one upload, one
+        execute, one download per chunk."""
+        key = (bucket, n_sub, n_images, max_h, max_w, window_h, window_w,
+               n_reg, np.dtype(staged_dtype).str)
         if key not in self._roi_cache:
-            from face_vijnana_yolov3_tpu.ops.roi import roi_letterbox_device
+            from face_vijnana_yolov3_tpu.ops.roi import (
+                roi_letterbox_device_windowed,
+                unpack_roi_operands,
+            )
 
             inner_embed = self._embed_fn(bucket)
+            image_size = self.image_size
 
             @jax.jit
-            def run(image, ri, rw, ci, cw, reg):
-                crops = roi_letterbox_device(image, ri, rw, ci, cw)
-                emb = inner_embed(crops)
-                return match_embeddings(emb, reg)
+            def run(staged, packed, reg):
+                def sub(p):
+                    org, ri, rw, ci, cw = unpack_roi_operands(p, image_size)
+                    crops = roi_letterbox_device_windowed(
+                        staged, org, ri, rw, ci, cw,
+                        window_h=window_h, window_w=window_w,
+                    )
+                    emb = inner_embed(crops)
+                    idx, dist = match_embeddings(emb, reg)
+                    return jnp.stack([idx.astype(jnp.float32), dist], -1)
+
+                return jax.lax.map(sub, packed)  # (n_sub, bucket, 2)
 
             self._roi_cache[key] = run
         return self._roi_cache[key]
 
-    def _identify_image_device(self, image_o: np.ndarray, boxes: np.ndarray,
+    def _identify_chunk_device(self, images: list, boxes_list: list,
                                subject_ids, reg_dev, staged_dev=None):
-        """Device-fused twin of `_identify_image`: the crop+cubic-letterbox
-        runs as MXU matmuls against the staged original (ops/roi.py), fused
-        with embed + registry match in one program. Host work per box is a
-        ~13 KB tap table instead of a cv2 cubic resize + f32 crop upload.
+        """Device-fused identify for a whole detect chunk: every image's
+        crop+cubic-letterbox runs as windowed MXU matmuls against the staged
+        batch (ops/roi.py), fused with embed + registry match — ONE program
+        call per ~64 ROIs across ALL images of the chunk. Per-call dispatch
+        latency over the tunneled device (~100 ms) dominates small per-image
+        programs, so batching the chunk is worth ~batch_size× on wall clock.
 
-        staged_dev: the image's row of the detect pass's device staging
-        buffer (detect_batch_fused return_staged) — the originals then never
-        upload a second time; omitted, the image stages here.
+        Host work per box is a ~13 KB tap table instead of a single-core cv2
+        cubic resize + f32 crop upload.
 
-        Same observable semantics as the host path (crop window off-by-one,
-        zero-size skip, sim_th gate) at float-rounding parity — the reference
-        host math is f64, this path is f32 HIGHEST.
+        staged_dev: the detect pass's (B,maxH,maxW,3) device staging buffer
+        (detect_batch_fused return_staged) — the originals then never upload
+        a second time; omitted, the chunk stages here.
+
+        Same observable semantics as the host `_identify_image` (crop window
+        off-by-one, zero-size skip, sim_th gate) at float-rounding parity —
+        the reference host math is f64, this path is f32 HIGHEST.
+
+        Returns a list of per-image row lists.
         """
-        from face_vijnana_yolov3_tpu.ops.roi import build_roi_taps, zero_taps
-
-        src_h, src_w = image_o.shape[0], image_o.shape[1]
-        keep, ri, rw, ci, cw = build_roi_taps(
-            boxes, src_h, src_w, self.image_size
+        from face_vijnana_yolov3_tpu.ops.roi import (
+            build_roi_windows,
+            stack_roi_taps,
+            window_bucket,
+            zero_taps,
         )
-        if not keep:
-            return []
-        n = len(keep)
+
+        owners: list[tuple[int, int]] = []  # ROI → (image j, box k)
+        wins: list[tuple[int, int, int, int]] = []
+        for j, (im, bx) in enumerate(zip(images, boxes_list)):
+            keep_j, wins_j = build_roi_windows(bx, im.shape[0], im.shape[1])
+            owners.extend((j, k) for k in keep_j)
+            wins.extend(wins_j)
+        out_rows: list[list] = [[] for _ in images]
+        if not owners:
+            return out_rows
+        n = len(owners)
 
         if staged_dev is not None:
             staged = staged_dev
-            bh, bw = int(staged.shape[0]), int(staged.shape[1])
+            bh, bw = int(staged.shape[1]), int(staged.shape[2])
             staged_np_dtype = np.dtype(str(staged.dtype))
         else:
-            # Stage the original once (uint8: 4x less h2d than f32, /255
-            # fuses into the resize); dims bucket to 128-multiples to bound
-            # program count across a mixed-resolution test set.
-            bh = -(-src_h // 128) * 128
-            bw = -(-src_w // 128) * 128
-            if image_o.dtype == np.uint8:
-                staged = np.zeros((bh, bw, 3), np.uint8)
-            else:
-                staged = np.zeros((bh, bw, 3), np.float32)
-            staged[:src_h, :src_w] = image_o
+            # Stage the chunk once (uint8: 4x less h2d than f32, /255 fuses
+            # into the resize); dims bucket to 128-multiples to bound program
+            # count across a mixed-resolution test set.
+            bh = -(-max(im.shape[0] for im in images) // 128) * 128
+            bw = -(-max(im.shape[1] for im in images) // 128) * 128
+            dtype = (np.uint8 if all(im.dtype == np.uint8 for im in images)
+                     else np.float32)
+            staged = np.zeros((len(images), bh, bw, 3), dtype)
+            for j, im in enumerate(images):
+                staged[j, : im.shape[0], : im.shape[1]] = im
             staged_np_dtype = staged.dtype
+
+        # Windowed fast path: each ROI dynamic-slices a bucketed window of
+        # its image at its origin, so the resize matmuls contract over ~the
+        # crop extent instead of the full staged axes.
+        wh = window_bucket(max(w[2] for w in wins), bh)
+        ww = window_bucket(max(w[3] for w in wins), bw)
+        origins = np.zeros((n, 3), np.int32)
+        for r, ((j, _k), (y0, x0, _ch, _cw)) in enumerate(zip(owners, wins)):
+            origins[r] = (j, min(y0, bh - wh), min(x0, bw - ww))
+        ri, rw, ci, cw = stack_roi_taps(wins, self.image_size, origins[:, 1:])
 
         bucket = next((b for b in _EMBED_BUCKETS if b >= n),
                       _EMBED_BUCKETS[-1])
-        total = -(-n // bucket) * bucket  # >bucket ROIs: whole chunks of it
+        # Whole chunk in one program: pad the ROI count to a power-of-2
+        # number of bucket-size sub-batches (bounds the set of compiled
+        # programs; padding ROIs are zero-tap black crops).
+        n_sub = -(-n // bucket)
+        n_sub = 1 << (n_sub - 1).bit_length()
+        total = n_sub * bucket
         if n < total:
             zri, zrw, zci, zcw = zero_taps(self.image_size)
             pad = total - n
+            origins = np.concatenate([origins,
+                                      np.zeros((pad, 3), np.int32)])
             ri = np.concatenate([ri, np.tile(zri, (pad, 1, 1))])
             rw = np.concatenate([rw, np.tile(zrw, (pad, 1, 1))])
             ci = np.concatenate([ci, np.tile(zci, (pad, 1, 1))])
@@ -468,39 +519,43 @@ class FaceIdentifierPipeline:
                 and self._q_embed is None):
             # int8 needs calibrated qparams before the embed closure is built;
             # calibrate on REAL crops via a one-off letterbox-only program.
-            from face_vijnana_yolov3_tpu.ops.roi import roi_letterbox_device
+            from face_vijnana_yolov3_tpu.ops.roi import (
+                roi_letterbox_device_windowed,
+            )
 
             k = min(16, n)
-            crops = jax.jit(roi_letterbox_device)(
-                jnp.asarray(staged), jnp.asarray(ri[:k]), jnp.asarray(rw[:k]),
-                jnp.asarray(ci[:k]), jnp.asarray(cw[:k])
-            )
+            crops = jax.jit(
+                lambda im, og, a, b, c, d: roi_letterbox_device_windowed(
+                    im, og, a, b, c, d, window_h=wh, window_w=ww
+                )
+            )(jnp.asarray(staged), jnp.asarray(origins[:k]),
+              jnp.asarray(ri[:k]), jnp.asarray(rw[:k]),
+              jnp.asarray(ci[:k]), jnp.asarray(cw[:k]))
             self.embed(np.asarray(crops))  # triggers calibration
 
-        best_idx = np.zeros((len(ri),), np.int32)
-        best_dist = np.zeros((len(ri),), np.float32)
-        staged_dev2 = jnp.asarray(staged)
-        for s in range(0, len(ri), bucket):
-            run = self._roi_fused_fn(
-                bucket, bh, bw, int(reg_dev.shape[0]), staged_np_dtype
-            )
-            bi, bd = run(
-                staged_dev2,
-                jnp.asarray(ri[s : s + bucket]), jnp.asarray(rw[s : s + bucket]),
-                jnp.asarray(ci[s : s + bucket]), jnp.asarray(cw[s : s + bucket]),
-                reg_dev,
-            )
-            best_idx[s : s + bucket] = np.asarray(bi)
-            best_dist[s : s + bucket] = np.asarray(bd)
+        from face_vijnana_yolov3_tpu.ops.roi import pack_roi_operands
 
-        rows = []
-        for j, k in enumerate(keep):
-            if best_dist[j] > self.hps["sim_th"]:
+        packed = pack_roi_operands(origins, ri, rw, ci, cw).reshape(
+            n_sub, bucket, -1
+        )
+        run = self._roi_fused_fn(
+            bucket, n_sub, len(images), bh, bw, wh, ww,
+            int(reg_dev.shape[0]), staged_np_dtype,
+        )
+        out = np.asarray(
+            run(jnp.asarray(staged), jnp.asarray(packed), reg_dev)
+        ).reshape(total, 2)
+        best_idx = out[:, 0].astype(np.int32)
+        best_dist = out[:, 1].astype(np.float32)
+
+        for r, (j, k) in enumerate(owners):
+            if best_dist[r] > self.hps["sim_th"]:
                 continue
-            rows.append(
+            boxes = boxes_list[j]
+            out_rows[j].append(
                 {
                     "box_index": k,
-                    "subject_id": subject_ids[int(best_idx[j])],
+                    "subject_id": subject_ids[int(best_idx[r])],
                     "xmin": boxes[k, 0],
                     "ymin": boxes[k, 1],
                     "xmax": boxes[k, 2],
@@ -508,7 +563,15 @@ class FaceIdentifierPipeline:
                     "score": boxes[k, 4],
                 }
             )
-        return rows
+        return out_rows
+
+    def _identify_image_device(self, image_o: np.ndarray, boxes: np.ndarray,
+                               subject_ids, reg_dev, staged_dev=None):
+        """Single-image view of `_identify_chunk_device` (same program)."""
+        staged = staged_dev[None] if staged_dev is not None else None
+        return self._identify_chunk_device(
+            [image_o], [boxes], subject_ids, reg_dev, staged_dev=staged
+        )[0]
 
     def _run_identification(self, draw_results: bool):
         import pandas as pd
@@ -532,32 +595,43 @@ class FaceIdentifierPipeline:
             gt_df = pd.read_csv(os.path.join(test_path, "validation.csv"))
             gt_groups = gt_df.groupby("FILE")
 
+        batch_size = int(vars(self.fd_conf.hps)["batch_size"])
+
+        # scaled_decode=False on both paths: the crop-from-original quirk
+        # (and result drawing) needs full-resolution pixels.
+        def _stream():
+            if device_roi:
+                # Chunk-fused device path: all of a detect chunk's crops
+                # embed+match in one program call (per-call dispatch latency
+                # dominates per-image programs on the tunneled device), and
+                # yield_staged reuses the detect pass's staging buffer (one
+                # upload per image total).
+                for chunk, originals, _geoms, boxes_list, staged_dev in (
+                    self.fd._iter_detection_chunks(
+                        file_names, batch_size,
+                        scaled_decode=False, yield_staged=True,
+                    )
+                ):
+                    rows_per_img = self._identify_chunk_device(
+                        originals, boxes_list, subject_ids, reg_dev,
+                        staged_dev=staged_dev,
+                    )
+                    for k, fn in enumerate(chunk):
+                        yield fn, originals[k], boxes_list[k], rows_per_img[k]
+            else:
+                for fn, image_o, _geom, boxes in self.fd._iter_detections(
+                    file_names, batch_size, scaled_decode=False,
+                ):
+                    yield fn, image_o, boxes, self._identify_image(
+                        image_o, boxes, subject_ids, reg_embs
+                    )
+
         count1 = 1
         with open(output_file_path, "w") as f:
-            # scaled_decode=False: the crop-from-original quirk (and result
-            # drawing) needs full-resolution pixels. yield_staged lets the
-            # device ROI path reuse the detect pass's staging buffer (one
-            # upload per image total).
-            for det in self.fd._iter_detections(
-                file_names, int(vars(self.fd_conf.hps)["batch_size"]),
-                scaled_decode=False, yield_staged=device_roi,
-            ):
-                if device_roi:
-                    fn, image_o, _geom, boxes, staged_row = det
-                else:
-                    fn, image_o, _geom, boxes = det
+            for fn, image_o, boxes, rows in _stream():
                 if DEBUG:
                     print(count1, "/", len(file_names), fn)
                 count1 += 1
-                if device_roi:
-                    rows = self._identify_image_device(
-                        image_o, boxes, subject_ids, reg_dev,
-                        staged_dev=staged_row,
-                    )
-                else:
-                    rows = self._identify_image(
-                        image_o, boxes, subject_ids, reg_embs
-                    )
                 base = fn.split(os.sep)[-1]
                 # Reference caps WRITTEN rows at 60 but iterates all boxes —
                 # unmatched boxes don't consume the budget

@@ -83,6 +83,21 @@ def roi_letterbox_taps(y0: int, x0: int, crop_h: int, crop_w: int,
     return ri, rw, ci, cw
 
 
+_WINDOW_BUCKETS = (128, 256, 512, 1024, 2048)
+
+
+def window_bucket(need: int, limit: int) -> int:
+    """Smallest window bucket covering `need` source rows/cols, capped at the
+    staged dimension. Face crops are usually a small fraction of the frame,
+    so the resize matmuls sweep a 128-512 window instead of the full staged
+    axis — the dense-matrix rows are zero outside the crop's 4-tap span, and
+    sweeping provably-zero columns is pure wasted MXU/HBM work."""
+    for b in _WINDOW_BUCKETS:
+        if b >= need:
+            return min(b, limit)
+    return limit
+
+
 def zero_taps(image_size: int):
     """All-zero tap tables (black output) — ROI-chunk padding filler."""
     z_i = np.zeros((image_size, 4), np.int32)
@@ -137,19 +152,50 @@ def roi_letterbox_device(
     return jax.vmap(one)(row_idx, row_w, col_idx, col_w)
 
 
-def build_roi_taps(boxes: np.ndarray, src_h: int, src_w: int, image_size: int):
-    """Host side for a batch of detect boxes: windows → stacked tap tables.
+def pack_roi_operands(origins: np.ndarray, row_idx: np.ndarray,
+                      row_w: np.ndarray, col_idx: np.ndarray,
+                      col_w: np.ndarray) -> np.ndarray:
+    """Pack per-ROI operands into ONE (R, 3 + 4·S·4) float32 array.
+
+    The tunneled device pays a fixed per-transfer RPC latency (~tens of ms),
+    so shipping origins + 4 tap tables as 5 arrays costs 5 round trips per
+    call; packed, it is one bulk transfer. Integer fields (origins, tap
+    indices — all < 2^24) round-trip exactly through f32.
+    """
+    r, s, t = row_idx.shape
+    flat = lambda a: a.reshape(r, s * t).astype(np.float32)  # noqa: E731
+    return np.concatenate(
+        [origins.astype(np.float32), flat(row_idx), flat(row_w),
+         flat(col_idx), flat(col_w)], axis=1,
+    )
+
+
+def unpack_roi_operands(packed: jnp.ndarray, image_size: int, taps: int = 4):
+    """Device-side inverse of `pack_roi_operands`:
+    (R, F) → (origins (R,3) i32, row_idx, row_w, col_idx, col_w)."""
+    r = packed.shape[0]
+    st = image_size * taps
+    org = packed[:, :3].astype(jnp.int32)
+    cut = lambda j: packed[:, 3 + j * st : 3 + (j + 1) * st].reshape(  # noqa: E731
+        r, image_size, taps
+    )
+    return (org, cut(0).astype(jnp.int32), cut(1),
+            cut(2).astype(jnp.int32), cut(3))
+
+
+def build_roi_windows(boxes: np.ndarray, src_h: int, src_w: int):
+    """Crop windows for a batch of detect boxes.
 
     Args:
       boxes: (N, >=4) float rows [xmin, ymin, xmax, ymax, ...] in original
         image coords (the detect pipeline's un-letterboxed output).
 
     Returns:
-      (keep, row_idx (K,S,4), row_w, col_idx, col_w) where `keep` lists the
-      box indices whose crop is non-empty, in order.
+      (keep, wins): `keep` lists the box indices whose crop is non-empty, in
+      order; `wins` the matching (y0, x0, crop_h, crop_w) tuples.
     """
     keep: list[int] = []
-    tabs: list[tuple] = []
+    wins: list[tuple[int, int, int, int]] = []
     for k in range(boxes.shape[0]):
         l, t, r, b = (int(boxes[k, 0]), int(boxes[k, 1]),
                       int(boxes[k, 2]), int(boxes[k, 3]))
@@ -157,13 +203,84 @@ def build_roi_taps(boxes: np.ndarray, src_h: int, src_w: int, image_size: int):
         if ch <= 0 or cw <= 0:
             continue
         keep.append(k)
-        tabs.append(roi_letterbox_taps(y0, x0, ch, cw, image_size))
-    if not keep:
+        wins.append((y0, x0, ch, cw))
+    return keep, wins
+
+
+def stack_roi_taps(wins, image_size: int, origins: np.ndarray | None = None):
+    """Stacked tap tables for a list of crop windows.
+
+    origins: optional (K, 2) int array of per-ROI (oy, ox) window origins —
+    tap indices then address window-relative coordinates (for the
+    dynamic-slice fast path `roi_letterbox_device_windowed`); None keeps them
+    absolute (full staged image).
+    """
+    if not wins:
         z = np.zeros((0, image_size, 4), np.int32)
         zw = np.zeros((0, image_size, 4), np.float32)
-        return keep, z, zw, z.copy(), zw.copy()
-    ri = np.stack([t[0] for t in tabs])
-    rw = np.stack([t[1] for t in tabs])
-    ci = np.stack([t[2] for t in tabs])
-    cw_ = np.stack([t[3] for t in tabs])
-    return keep, ri, rw, ci, cw_
+        return z, zw, z.copy(), zw.copy()
+    tabs = []
+    for j, (y0, x0, ch, cw) in enumerate(wins):
+        oy, ox = (int(origins[j, 0]), int(origins[j, 1])) if origins is not None else (0, 0)
+        tabs.append(roi_letterbox_taps(y0 - oy, x0 - ox, ch, cw, image_size))
+    return (np.stack([t[0] for t in tabs]), np.stack([t[1] for t in tabs]),
+            np.stack([t[2] for t in tabs]), np.stack([t[3] for t in tabs]))
+
+
+def build_roi_taps(boxes: np.ndarray, src_h: int, src_w: int, image_size: int):
+    """Host side for a batch of detect boxes: windows → stacked ABSOLUTE tap
+    tables (full-staged-image addressing).
+
+    Returns (keep, row_idx (K,S,4), row_w, col_idx, col_w).
+    """
+    keep, wins = build_roi_windows(boxes, src_h, src_w)
+    return (keep,) + stack_roi_taps(wins, image_size)
+
+
+def roi_letterbox_device_windowed(
+    staged: jnp.ndarray,
+    origins: jnp.ndarray,
+    row_idx: jnp.ndarray,
+    row_w: jnp.ndarray,
+    col_idx: jnp.ndarray,
+    col_w: jnp.ndarray,
+    *,
+    window_h: int,
+    window_w: int,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Windowed fast path of `roi_letterbox_device`, batched across images:
+    each ROI dynamic-slices a (window_h, window_w) region of ITS image at a
+    host-precomputed in-bounds origin; the resize matmuls contract over the
+    window instead of the full staged axes (identical weights — the skipped
+    columns were exact zeros; only f32 summation order differs). ROIs of a
+    whole detect chunk therefore run in ONE program call regardless of which
+    image each box came from — the per-call dispatch latency (dominant on a
+    tunneled device: ~100 ms/call) amortizes over the chunk.
+
+    Args:
+      staged: (B, maxH, maxW, C) staged originals — uint8 (the /255 fuses
+        into the per-window convert) or float32 in [0,1].
+      origins: (R, 3) int32 per-ROI (img_idx, oy, ox), clamped by the caller
+        so the window fits: oy <= maxH - window_h, ox <= maxW - window_w.
+      row_idx/...: (R, S, 4) tap tables RELATIVE to the window origin
+        (`stack_roi_taps(..., origins=...)`).
+
+    Returns:
+      (R, S, S, C) float32 letterboxed crops in [0,1].
+    """
+    c = staged.shape[-1]
+
+    def one(org, ri, rw, ci, cw):
+        win = jax.lax.dynamic_slice(
+            staged, (org[0], org[1], org[2], 0), (1, window_h, window_w, c)
+        )[0]
+        if staged.dtype == jnp.uint8:
+            win = win.astype(jnp.float32) * (1.0 / 255.0)
+        else:
+            win = win.astype(jnp.float32)
+        rm = _mat_from_taps(ri, rw, window_h)
+        cm = _mat_from_taps(ci, cw, window_w)
+        return apply_matrices(win, rm, cm, precision=precision)
+
+    return jax.vmap(one)(origins, row_idx, row_w, col_idx, col_w)

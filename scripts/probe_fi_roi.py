@@ -57,29 +57,44 @@ def main():
     subject_ids = list(range(200))
     reg_dev = jnp.asarray(reg)
 
-    # warm both paths (compiles + int8 calibration if any)
+    chunk = 16  # detect-chunk size for the chunk-fused path
+    all_imgs = [np.roll(image, i * 3, axis=1) for i in range(n_images)]
+
+    # warm all paths (compiles + int8 calibration if any)
     fi._identify_image(image, boxes, subject_ids, reg)
     fi._identify_image_device(image, boxes, subject_ids, reg_dev)
+    fi._identify_chunk_device(
+        all_imgs[:chunk], [boxes] * chunk, subject_ids, reg_dev
+    )
 
     t0 = time.perf_counter()
-    for i in range(n_images):
-        img = np.roll(image, i * 3, axis=1)  # defeat runtime dedupe
+    for img in all_imgs:
         fi._identify_image(img, boxes, subject_ids, reg)
     t_host = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    for i in range(n_images):
-        img = np.roll(image, i * 3, axis=1)
+    for img in all_imgs:
         fi._identify_image_device(img, boxes, subject_ids, reg_dev)
     t_dev = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    for s in range(0, n_images, chunk):
+        imgs = all_imgs[s : s + chunk]
+        fi._identify_chunk_device(
+            imgs, [boxes] * len(imgs), subject_ids, reg_dev
+        )
+    t_chunk = time.perf_counter() - t0
+
     crops = n_images * n_boxes
     print(f"precision={precision} images={n_images} boxes/img={n_boxes}")
-    print(f"host-crop identify : {t_host:.2f}s  "
+    print(f"host-crop identify    : {t_host:.2f}s  "
           f"{crops / t_host:.0f} crops/s  {n_images / t_host:.2f} img/s")
-    print(f"device-fused ROI   : {t_dev:.2f}s  "
+    print(f"device ROI (per-image): {t_dev:.2f}s  "
           f"{crops / t_dev:.0f} crops/s  {n_images / t_dev:.2f} img/s")
-    print(f"speedup: {t_host / t_dev:.2f}x")
+    print(f"device ROI (chunk {chunk:2d}) : {t_chunk:.2f}s  "
+          f"{crops / t_chunk:.0f} crops/s  {n_images / t_chunk:.2f} img/s")
+    print(f"speedup: per-image {t_host / t_dev:.2f}x  "
+          f"chunked {t_host / t_chunk:.2f}x")
 
 
 if __name__ == "__main__":

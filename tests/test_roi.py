@@ -104,6 +104,77 @@ def test_roi_staged_padding_does_not_change_crops():
     np.testing.assert_allclose(tight, padded, atol=1e-6)
 
 
+def test_roi_windowed_matches_absolute():
+    """The dynamic-slice windowed fast path == full-staged-axis path (same
+    weights; only the f32 reduction span differs), incl. origin clamping for
+    crops flush against the staged edges."""
+    from face_vijnana_yolov3_tpu.ops.roi import (
+        build_roi_windows,
+        roi_letterbox_device_windowed,
+        stack_roi_taps,
+        window_bucket,
+    )
+
+    rng = np.random.default_rng(13)
+    H, W, S = 300, 400, 64
+    img = rng.integers(0, 256, size=(H, W, 3)).astype(np.uint8)
+    boxes = np.array(
+        [
+            [40, 30, 110, 90, 0.9],
+            [350, 250, 400, 300, 0.8],   # flush with the far staged corner
+            [1, 1, 120, 40, 0.7],
+            [10, 10, 300, 290, 0.6],     # big crop: forces a large window
+        ],
+        np.float64,
+    )
+    keep, wins = build_roi_windows(boxes, H, W)
+    assert len(keep) == 4
+    ri_a, rw_a, ci_a, cw_a = stack_roi_taps(wins, S)
+    absolute = np.asarray(
+        jax.jit(roi_letterbox_device)(
+            jnp.asarray(img), jnp.asarray(ri_a), jnp.asarray(rw_a),
+            jnp.asarray(ci_a), jnp.asarray(cw_a),
+        )
+    )
+    wh = window_bucket(max(w[2] for w in wins), H)
+    ww = window_bucket(max(w[3] for w in wins), W)
+    assert (wh, ww) == (300, 400)  # the big crop caps at the staged dims
+    origins = np.array(
+        [[0, min(y0, H - wh), min(x0, W - ww)] for y0, x0, _, _ in wins],
+        np.int32,
+    )
+    ri, rw, ci, cw = stack_roi_taps(wins, S, origins[:, 1:])
+    windowed = np.asarray(
+        jax.jit(
+            lambda im, og, a, b, c, d: roi_letterbox_device_windowed(
+                im, og, a, b, c, d, window_h=wh, window_w=ww
+            )
+        )(jnp.asarray(img[None]), jnp.asarray(origins), jnp.asarray(ri),
+          jnp.asarray(rw), jnp.asarray(ci), jnp.asarray(cw))
+    )
+    np.testing.assert_allclose(windowed, absolute, atol=1e-6)
+
+    # small-window case: only small crops → 128-bucket windows
+    small = [wins[0], wins[1]]
+    wh2 = window_bucket(max(w[2] for w in small), H)
+    ww2 = window_bucket(max(w[3] for w in small), W)
+    assert (wh2, ww2) == (128, 128)
+    origins2 = np.array(
+        [[0, min(y0, H - wh2), min(x0, W - ww2)] for y0, x0, _, _ in small],
+        np.int32,
+    )
+    ri2, rw2, ci2, cw2 = stack_roi_taps(small, S, origins2[:, 1:])
+    windowed2 = np.asarray(
+        jax.jit(
+            lambda im, og, a, b, c, d: roi_letterbox_device_windowed(
+                im, og, a, b, c, d, window_h=wh2, window_w=ww2
+            )
+        )(jnp.asarray(img[None]), jnp.asarray(origins2), jnp.asarray(ri2),
+          jnp.asarray(rw2), jnp.asarray(ci2), jnp.asarray(cw2))
+    )
+    np.testing.assert_allclose(windowed2, absolute[:2], atol=1e-6)
+
+
 def _fi_pipeline(tmp_path, image_size=64):
     from face_vijnana_yolov3_tpu.api.config import Conf
     from face_vijnana_yolov3_tpu.api.face_identification import (
@@ -188,6 +259,39 @@ def test_identify_image_device_staged_reuse(tmp_path):
     assert [r["box_index"] for r in rows_a] == [
         r["box_index"] for r in rows_b
     ]
+
+
+def test_identify_chunk_device_matches_per_image_host(tmp_path):
+    """The chunk-fused device path (all images' ROIs in shared program calls)
+    makes the same per-image decisions as the host path, with mixed image
+    sizes and a boxless image in the chunk."""
+    fi = _fi_pipeline(tmp_path)
+    rng = np.random.default_rng(17)
+    images = [
+        rng.integers(0, 256, size=(150, 200, 3)).astype(np.uint8),
+        rng.integers(0, 256, size=(100, 120, 3)).astype(np.uint8),
+        rng.integers(0, 256, size=(130, 90, 3)).astype(np.uint8),
+    ]
+    boxes_list = [
+        np.array([[40, 30, 110, 90, 0.9], [5, 10, 60, 70, 0.8]], np.float64),
+        np.zeros((0, 5), np.float64),  # no detections on this image
+        np.array([[10, 20, 70, 100, 0.7], [0, 0, 0, 0, 0.1]], np.float64),
+    ]
+    reg = np.eye(3, 8, dtype=np.float32)
+    ids = ["a", "b", "c"]
+    dev = fi._identify_chunk_device(
+        images, boxes_list, ids, jnp.asarray(reg)
+    )
+    host = [fi._identify_image(im, bx, ids, reg)
+            for im, bx in zip(images, boxes_list)]
+    assert len(dev) == 3
+    for d_rows, h_rows in zip(dev, host):
+        assert [r["box_index"] for r in d_rows] == [
+            r["box_index"] for r in h_rows
+        ]
+        assert [r["subject_id"] for r in d_rows] == [
+            r["subject_id"] for r in h_rows
+        ]
 
 
 def test_identify_device_roi_bucketing(tmp_path):
