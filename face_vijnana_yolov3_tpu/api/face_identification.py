@@ -538,8 +538,11 @@ class FaceIdentifierPipeline:
         packed = pack_roi_operands(origins, ri, rw, ci, cw).reshape(
             n_sub, bucket, -1
         )
+        # key on the STAGED batch dim, not len(images): detect pads its
+        # staging batch to batch_size, so the last (short) chunk reuses the
+        # same compiled program instead of recompiling
         run = self._roi_fused_fn(
-            bucket, n_sub, len(images), bh, bw, wh, ww,
+            bucket, n_sub, int(staged.shape[0]), bh, bw, wh, ww,
             int(reg_dev.shape[0]), staged_np_dtype,
         )
         out = np.asarray(

@@ -315,6 +315,40 @@ def test_identify_device_roi_bucketing(tmp_path):
     assert [r["subject_id"] for r in rows] == [r["subject_id"] for r in host]
 
 
+def test_identify_chunk_device_int8_calibration(tmp_path):
+    """precision='int8' through the device ROI path: the calibration branch
+    (real crops via the one-off letterbox program) fires once, and the fused
+    int8 embed makes decisions matching the host int8 path."""
+    from face_vijnana_yolov3_tpu.api.config import Conf
+    from face_vijnana_yolov3_tpu.api.face_identification import (
+        FaceIdentifierPipeline,
+    )
+
+    conf = Conf()
+    conf.fi_conf.raw_data_path = str(tmp_path)
+    conf.fi_conf.weights_path = "missing.weights"
+    conf.fi_conf.nn_arch.image_size = 64
+    conf.fi_conf.nn_arch.dense1_dim = 8
+    conf.fi_conf.hps.sim_th = 10.0
+    conf.fd_conf.weights_path = "missing.weights"
+    conf.fd_conf.nn_arch.image_size = 64
+    fi = FaceIdentifierPipeline(conf, precision="int8")
+    rng = np.random.default_rng(21)
+    image_o = rng.integers(0, 256, size=(150, 200, 3)).astype(np.uint8)
+    boxes = np.array(
+        [[40, 30, 110, 90, 0.9], [5, 10, 60, 70, 0.8]], np.float64
+    )
+    reg = np.eye(2, 8, dtype=np.float32)
+    assert fi._q_embed is None
+    dev = fi._identify_chunk_device(
+        [image_o], [boxes], ["a", "b"], jnp.asarray(reg)
+    )[0]
+    assert fi._q_embed is not None  # calibration branch fired
+    host = fi._identify_image(image_o, boxes, ["a", "b"], reg)
+    assert [r["subject_id"] for r in dev] == [r["subject_id"] for r in host]
+    assert [r["box_index"] for r in dev] == [r["box_index"] for r in host]
+
+
 def test_run_identification_device_roi_e2e(tmp_path, monkeypatch):
     """FVY_DEVICE_ROI=1 drives evaluate end-to-end through the fused path and
     produces the same solution_fi.csv as the host path."""
