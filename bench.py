@@ -215,7 +215,11 @@ def main():
         return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
 
     def chained(step, batch):
-        @jax.jit
+        from face_vijnana_yolov3_tpu.utils.runtime import tpu_compiler_options
+        from functools import partial
+
+        @partial(jax.jit,
+                 compiler_options=tpu_compiler_options("serving"))
         def run(w, images):
             def body(carry, _):
                 xi = images + (0.0 * carry[0]).astype(images.dtype)

@@ -30,6 +30,7 @@ from face_vijnana_yolov3_tpu.ops.postprocess import (
     face_postprocess,
 )
 from face_vijnana_yolov3_tpu.utils.io import imread, imsave
+from face_vijnana_yolov3_tpu.utils.runtime import tpu_compiler_options
 
 DEBUG = True
 
@@ -221,7 +222,8 @@ class FaceDetectorPipeline:
                     qparams, images, pallas_blocks=pallas_blocks)
                 return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
 
-            self._jit_detect = jax.jit(detect)
+            self._jit_detect = jax.jit(
+                detect, compiler_options=tpu_compiler_options("serving"))
         elif self.precision == "bfloat16":
             if self._hybrid_front:
                 if getattr(self, "_qparams", None) is None:
@@ -235,7 +237,8 @@ class FaceDetectorPipeline:
                     head = self.model.apply_quant(qparams, images)
                     return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
 
-                self._jit_detect = jax.jit(detect)
+                self._jit_detect = jax.jit(
+                detect, compiler_options=tpu_compiler_options("serving"))
                 return
             folded = self.model.fold(self.params, self.state)
             front = getattr(self.conf, "bf16_f32_front", 2)
@@ -247,7 +250,8 @@ class FaceDetectorPipeline:
                 )
                 return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
 
-            self._jit_detect = jax.jit(detect)
+            self._jit_detect = jax.jit(
+                detect, compiler_options=tpu_compiler_options("serving"))
         else:
             params, state = self.params, self.state
 
@@ -255,7 +259,8 @@ class FaceDetectorPipeline:
                 head, _ = self.model.apply(params, state, images, train=False)
                 return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
 
-            self._jit_detect = jax.jit(detect)
+            self._jit_detect = jax.jit(
+                detect, compiler_options=tpu_compiler_options("serving"))
 
     def detect_batch(self, images: np.ndarray):
         """(B,S,S,3) letterboxed float images → (cands (B,num_cands,6), counts (B,)).
@@ -455,7 +460,6 @@ class FaceDetectorPipeline:
             inner = self._jit_detect
             batch = staged.shape[0]
 
-            @jax.jit
             def fused(staged, row_ms, col_ms):
                 # 'highest' keeps the resize f32-exact vs the host cv2 path
                 # (the TPU default would round the matmuls to bf16).
@@ -467,6 +471,8 @@ class FaceDetectorPipeline:
                 )
                 return inner(lb)
 
+            fused = jax.jit(
+                fused, compiler_options=tpu_compiler_options("serving"))
             self._fused_cache[key] = fused
         staged_dev = jnp.asarray(staged)
         cands, counts = self._fused_cache[key](

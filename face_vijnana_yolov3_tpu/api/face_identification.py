@@ -20,6 +20,8 @@ import shutil
 import sys
 import time
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -30,6 +32,7 @@ from face_vijnana_yolov3_tpu.models.identifier import FaceIdentifierModel
 from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_host
 from face_vijnana_yolov3_tpu.ops.similarity import match_embeddings
 from face_vijnana_yolov3_tpu.utils.io import imsave
+from face_vijnana_yolov3_tpu.utils.runtime import tpu_compiler_options
 
 DEBUG = True
 
@@ -145,7 +148,8 @@ class FaceIdentifierPipeline:
                 # bf16 rest via the quant mixed-tail mechanism.
                 qparams = self._q_embed
 
-                @jax.jit
+                @partial(jax.jit,
+                         compiler_options=tpu_compiler_options("serving"))
                 def run(images):
                     return self.model.embed_quant(qparams, images)
 
@@ -157,7 +161,8 @@ class FaceIdentifierPipeline:
                 folded = self.model.fold(self.params, self.state)
                 front = getattr(self.conf, "bf16_f32_front", 2)
 
-                @jax.jit
+                @partial(jax.jit,
+                         compiler_options=tpu_compiler_options("serving"))
                 def run(images):
                     return self.model.embed_folded(
                         folded, images, compute_dtype=jnp.bfloat16,
@@ -167,7 +172,8 @@ class FaceIdentifierPipeline:
             else:
                 params, state = self.params, self.state
 
-                @jax.jit
+                @partial(jax.jit,
+                         compiler_options=tpu_compiler_options("serving"))
                 def run(images):
                     emb, _ = self.model.embed(
                         params, state, images, train=False,
@@ -413,7 +419,8 @@ class FaceIdentifierPipeline:
             inner_embed = self._embed_fn(bucket)
             image_size = self.image_size
 
-            @jax.jit
+            @partial(jax.jit,
+                     compiler_options=tpu_compiler_options("serving"))
             def run(staged, packed, reg):
                 def sub(p):
                     org, ri, rw, ci, cw = unpack_roi_operands(p, image_size)

@@ -91,9 +91,12 @@ def detect_coco(
 ):
     """Full-image COCO detection; returns (boxes, objness, classes, valid)."""
     import jax
+    from functools import partial
+
     import jax.numpy as jnp
 
     from face_vijnana_yolov3_tpu.models import darknet
+    from face_vijnana_yolov3_tpu.utils.runtime import tpu_compiler_options
     from face_vijnana_yolov3_tpu.ops.postprocess import coco_postprocess
 
     ops = darknet.yolov3_graph()
@@ -112,7 +115,8 @@ def detect_coco(
         folded = darknet.fold_graph_params(params, state, ops)
         qparams = quant.quantize_folded(folded, x, ops)
 
-        @jax.jit
+        @partial(jax.jit,
+                 compiler_options=tpu_compiler_options("serving"))
         def run(x):
             outs = quant.apply_graph_quant(qparams, x, ops)
             return coco_postprocess(
@@ -123,7 +127,8 @@ def detect_coco(
     elif precision == "bfloat16":
         folded = darknet.fold_graph_params(params, state, ops)
 
-        @jax.jit
+        @partial(jax.jit,
+                 compiler_options=tpu_compiler_options("serving"))
         def run(x):
             outs = darknet.apply_graph_folded(
                 folded, x, ops, compute_dtype=jnp.bfloat16
@@ -135,7 +140,8 @@ def detect_coco(
             )
     else:
 
-        @jax.jit
+        @partial(jax.jit,
+                 compiler_options=tpu_compiler_options("serving"))
         def run(x):
             outs, _ = darknet.apply_graph(params, state, x, ops)
             return coco_postprocess(

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from face_vijnana_yolov3_tpu.parallel.mesh import batch_sharded, replicated
+from face_vijnana_yolov3_tpu.utils.runtime import tpu_compiler_options
 
 
 def detect_quant_dp(model, mesh: Mesh, qparams, *, postprocess_cfg=None,
@@ -66,4 +67,5 @@ def detect_quant_dp(model, mesh: Mesh, qparams, *, postprocess_cfg=None,
         fwd,
         in_shardings=(img_sharding,),
         out_shardings=(img_sharding,) * n_out if n_out > 1 else img_sharding,
+        compiler_options=tpu_compiler_options("serving"),
     )

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from face_vijnana_yolov3_tpu.parallel.mesh import replicated
+from face_vijnana_yolov3_tpu.utils.runtime import tpu_compiler_options
 
 
 def spatial_batch_sharded(mesh: Mesh) -> NamedSharding:
@@ -69,4 +70,5 @@ def detect_spatial(model, mesh: Mesh, *, compute_dtype=jnp.bfloat16,
         fwd,
         in_shardings=(repl, img_sharding),
         out_shardings=(out_sharding,) * n_out if n_out > 1 else out_sharding,
+        compiler_options=tpu_compiler_options("serving"),
     )

@@ -19,6 +19,7 @@ import numpy as np
 from face_vijnana_yolov3_tpu.data.pipeline import prefetch_batches
 from face_vijnana_yolov3_tpu.parallel import mesh as mesh_lib
 from face_vijnana_yolov3_tpu.train.optimizer import keras_adam, coerce_adam_state
+from face_vijnana_yolov3_tpu.utils.runtime import tpu_compiler_options
 
 
 def _pad_batch(arrays: tuple, batch_size: int, n_dev: int):
@@ -177,6 +178,7 @@ def train_detector(
                           data_stacked),
             out_shardings=(repl, repl, repl, repl),
             donate_argnums=(0, 1, 2),
+            compiler_options=tpu_compiler_options("train"),
         )
     else:
         jit_step = jax.jit(
@@ -184,6 +186,7 @@ def train_detector(
             in_shardings=(repl, repl, repl, data, data, data),
             out_shardings=(repl, repl, repl, repl),
             donate_argnums=(0, 1, 2),
+            compiler_options=tpu_compiler_options("train"),
         )
 
     for epoch in range(int(hps["epochs"])):
@@ -453,6 +456,7 @@ def train_identifier(
             in_shardings=(pspec, repl, opt_spec) + (data_stacked,) * n_feeds,
             out_shardings=(pspec, repl, opt_spec, repl),
             donate_argnums=(0, 1, 2),
+            compiler_options=tpu_compiler_options("train"),
         )
     else:
         jit_step = jax.jit(
@@ -460,6 +464,7 @@ def train_identifier(
             in_shardings=(pspec, repl, opt_spec) + (data,) * n_feeds,
             out_shardings=(pspec, repl, opt_spec, repl),
             donate_argnums=(0, 1, 2),
+            compiler_options=tpu_compiler_options("train"),
         )
 
     for epoch in range(int(hps["epochs"])):
