@@ -47,3 +47,31 @@ def test_all_public_modules_import():
     ]
     for m in modules:
         importlib.import_module(m)
+
+
+def test_tpu_compiler_options_env_and_backend(monkeypatch):
+    """tpu_compiler_options: None on non-TPU backends (this suite runs CPU);
+    FVY_XLA_VMEM_KIB must override/disable when a TPU backend is present."""
+    from face_vijnana_yolov3_tpu.utils import runtime
+
+    # CPU backend (conftest pins it): options must be None so the virtual-mesh
+    # tests never hand TPU flags to the CPU compiler.
+    assert runtime.tpu_compiler_options("serving") is None
+    assert runtime.tpu_compiler_options("train") is None
+
+    # Simulate a TPU backend to exercise the knob logic.
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert runtime.tpu_compiler_options("serving") == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536"
+    }
+    assert runtime.tpu_compiler_options("train") == {
+        "xla_tpu_scoped_vmem_limit_kib": "32768"
+    }
+    monkeypatch.setenv("FVY_XLA_VMEM_KIB", "12345")
+    assert runtime.tpu_compiler_options("serving") == {
+        "xla_tpu_scoped_vmem_limit_kib": "12345"
+    }
+    monkeypatch.setenv("FVY_XLA_VMEM_KIB", "0")
+    assert runtime.tpu_compiler_options("serving") is None
