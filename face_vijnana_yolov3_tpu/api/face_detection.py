@@ -112,6 +112,7 @@ class FaceDetectorPipeline:
             num_cands=self.hps["num_cands"],
         )
         self._jit_detect = None
+        self._detect_fn = None  # raw (unjitted) twin, for nesting in fused jits
 
     # -------------------------------------------------------------- detect
 
@@ -204,6 +205,7 @@ class FaceDetectorPipeline:
         fused closures capture the inner detect, so a stale cache would keep
         serving old weights/scales."""
         self._jit_detect = None
+        self._detect_fn = None
         self._fused_cache = {}
 
     def _build_detect(self):
@@ -222,6 +224,7 @@ class FaceDetectorPipeline:
                     qparams, images, pallas_blocks=pallas_blocks)
                 return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
 
+            self._detect_fn = detect
             self._jit_detect = jax.jit(
                 detect, compiler_options=tpu_compiler_options("serving"))
         elif self.precision == "bfloat16":
@@ -237,8 +240,10 @@ class FaceDetectorPipeline:
                     head = self.model.apply_quant(qparams, images)
                     return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
 
+                self._detect_fn = detect
                 self._jit_detect = jax.jit(
-                detect, compiler_options=tpu_compiler_options("serving"))
+                    detect,
+                    compiler_options=tpu_compiler_options("serving"))
                 return
             folded = self.model.fold(self.params, self.state)
             front = getattr(self.conf, "bf16_f32_front", 2)
@@ -250,6 +255,7 @@ class FaceDetectorPipeline:
                 )
                 return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
 
+            self._detect_fn = detect
             self._jit_detect = jax.jit(
                 detect, compiler_options=tpu_compiler_options("serving"))
         else:
@@ -259,6 +265,7 @@ class FaceDetectorPipeline:
                 head, _ = self.model.apply(params, state, images, train=False)
                 return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
 
+            self._detect_fn = detect
             self._jit_detect = jax.jit(
                 detect, compiler_options=tpu_compiler_options("serving"))
 
@@ -457,7 +464,9 @@ class FaceDetectorPipeline:
         if not hasattr(self, "_fused_cache") or self._fused_cache is None:
             self._fused_cache = {}
         if key not in self._fused_cache:
-            inner = self._jit_detect
+            # Close over the RAW detect fn: tracing a compiler_options-carrying
+            # jit inside another jit is a JAX error (options are top-level-only).
+            inner = self._detect_fn
             batch = staged.shape[0]
 
             def fused(staged, row_ms, col_ms):

@@ -129,6 +129,7 @@ class FaceIdentifierPipeline:
         # (face_identification.py:373).
         self.fd = FaceDetectorPipeline(self.fd_conf, precision=precision)
         self._embed_cache: dict[int, object] = {}
+        self._embed_raw_cache: dict[int, object] = {}
         self._roi_cache: dict[tuple, object] = {}
         self._q_embed = None  # int8 qparams, calibrated on first embed batch
 
@@ -141,15 +142,16 @@ class FaceIdentifierPipeline:
         return (self.precision == "bfloat16"
                 and getattr(self.conf, "bf16_front_mode", "f32") == "int8")
 
-    def _embed_fn(self, bucket: int):
-        if bucket not in self._embed_cache:
+    def _embed_raw(self, bucket: int):
+        """Unjitted embed fn — for nesting inside fused programs (the ROI
+        identify program): tracing a compiler_options-carrying jit inside
+        another jit is a JAX error (options are top-level-only)."""
+        if bucket not in self._embed_raw_cache:
             if self.precision == "int8" or self._hybrid_front:
                 # Full int8 trunk, or (hybrid) int8 guard segments + folded
                 # bf16 rest via the quant mixed-tail mechanism.
                 qparams = self._q_embed
 
-                @partial(jax.jit,
-                         compiler_options=tpu_compiler_options("serving"))
                 def run(images):
                     return self.model.embed_quant(qparams, images)
 
@@ -161,8 +163,6 @@ class FaceIdentifierPipeline:
                 folded = self.model.fold(self.params, self.state)
                 front = getattr(self.conf, "bf16_f32_front", 2)
 
-                @partial(jax.jit,
-                         compiler_options=tpu_compiler_options("serving"))
                 def run(images):
                     return self.model.embed_folded(
                         folded, images, compute_dtype=jnp.bfloat16,
@@ -172,8 +172,6 @@ class FaceIdentifierPipeline:
             else:
                 params, state = self.params, self.state
 
-                @partial(jax.jit,
-                         compiler_options=tpu_compiler_options("serving"))
                 def run(images):
                     emb, _ = self.model.embed(
                         params, state, images, train=False,
@@ -181,7 +179,15 @@ class FaceIdentifierPipeline:
                     )
                     return emb
 
-            self._embed_cache[bucket] = run
+            self._embed_raw_cache[bucket] = run
+        return self._embed_raw_cache[bucket]
+
+    def _embed_fn(self, bucket: int):
+        if bucket not in self._embed_cache:
+            self._embed_cache[bucket] = jax.jit(
+                self._embed_raw(bucket),
+                compiler_options=tpu_compiler_options("serving"),
+            )
         return self._embed_cache[bucket]
 
     def embed(self, images: np.ndarray) -> np.ndarray:
@@ -281,6 +287,7 @@ class FaceIdentifierPipeline:
             mining=getattr(self.conf, "negative_mining", "random"),
         )
         self._embed_cache.clear()
+        self._embed_raw_cache.clear()
         self._roi_cache.clear()  # fused ROI programs capture the embed closure
         # Stale int8 calibration would otherwise keep serving pre-training
         # quantized weights; next embed() re-folds + re-calibrates.
@@ -416,7 +423,7 @@ class FaceIdentifierPipeline:
                 unpack_roi_operands,
             )
 
-            inner_embed = self._embed_fn(bucket)
+            inner_embed = self._embed_raw(bucket)
             image_size = self.image_size
 
             @partial(jax.jit,
