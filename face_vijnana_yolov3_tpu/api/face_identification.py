@@ -498,7 +498,16 @@ class FaceIdentifierPipeline:
                      else np.float32)
             staged = np.zeros((len(images), bh, bw, 3), dtype)
             for j, im in enumerate(images):
-                staged[j, : im.shape[0], : im.shape[1]] = im
+                if dtype == np.uint8:
+                    staged[j, : im.shape[0], : im.shape[1]] = im
+                else:
+                    # Float staging must pre-normalize: the device resize
+                    # treats f32 staged pixels as already in [0,1] (only the
+                    # uint8 path fuses a /255), while the host twin ALWAYS
+                    # divides the raw crop by 255 (_identify_image).
+                    staged[j, : im.shape[0], : im.shape[1]] = (
+                        np.asarray(im, np.float32) / 255.0
+                    )
             staged_np_dtype = staged.dtype
 
         # Windowed fast path: each ROI dynamic-slices a bucketed window of

@@ -69,6 +69,17 @@ def roi_letterbox_taps(y0: int, x0: int, crop_h: int, crop_w: int,
     caller's responsibility (`roi_window` flags them).
     """
     geom = letterbox_geometry(crop_h, crop_w, image_size)
+    if geom.new_h <= 0 or geom.new_w <= 0:
+        # A crop thinner than image_size:1 letterboxes to a zero-size resize
+        # target (int() truncation). The host path — like the reference,
+        # src/space/face_identification.py:893 — crashes in cv2.resize on a
+        # zero dsize; refuse here too rather than silently emitting a black
+        # crop whose embedding could write a bogus identification row.
+        raise ValueError(
+            f"degenerate crop aspect {crop_h}x{crop_w}: letterbox target "
+            f"{geom.new_h}x{geom.new_w} has a zero dimension (cv2.resize in "
+            "the host/reference path rejects this)"
+        )
 
     def one(origin: int, src: int, new: int, pad: int):
         idx = np.zeros((image_size, 4), np.int32)

@@ -66,6 +66,13 @@ def main():
     fi._identify_chunk_device(
         all_imgs[:chunk], [boxes] * chunk, subject_ids, reg_dev
     )
+    tail = n_images % chunk
+    if tail:
+        # the short last chunk stages a different batch dim → its own
+        # compiled program; warm it too or a cold compile lands in t_chunk
+        fi._identify_chunk_device(
+            all_imgs[:tail], [boxes] * tail, subject_ids, reg_dev
+        )
 
     t0 = time.perf_counter()
     for img in all_imgs:

@@ -132,7 +132,11 @@ def main():
         # Short quick-check runs sometimes clear face_conf_th on zero val
         # images — a truthful (if useless) result of undertraining, not a
         # pipeline failure. Report AP 0 instead of a crash; scale
-        # epochs/n_train up for a real generalization run.
+        # epochs/n_train up for a real generalization run. Only the two
+        # "nothing to score" errors qualify — any other ValueError (malformed
+        # rows etc.) is a genuine failure and must propagate.
+        if "to score" not in str(e):
+            raise
         print(f"scoring: {e}")
         print("AP50 = 0.0000  mAP = 0.0000  (no detections above "
               f"face_conf_th={conf.hps.face_conf_th})")

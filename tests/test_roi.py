@@ -423,3 +423,51 @@ def test_run_identification_device_roi_e2e(tmp_path, monkeypatch):
     fi.test()
     dev2_sol = open(tmp_path / "sol_dev2.csv").read()
     assert parse(dev2_sol) == parse(host_sol)
+
+
+def test_identify_chunk_device_float_originals_match_host(tmp_path):
+    """Float (non-uint8) originals take the f32 self-staging branch, which
+    must pre-normalize by /255 — the host twin always divides the raw crop by
+    255, while the device resize treats f32 staged pixels as already in
+    [0,1]. Regression: un-normalized float staging embedded 255x-bright crops
+    and silently diverged from the host rows."""
+    fi = _fi_pipeline(tmp_path)
+    rng = np.random.default_rng(21)
+    image_u8 = rng.integers(0, 256, size=(150, 200, 3)).astype(np.uint8)
+    image_f = image_u8.astype(np.float64)  # raw 0-255 values, float dtype
+    boxes = np.array(
+        [[40.0, 30.0, 110.0, 90.0, 0.9], [5.0, 10.0, 60.0, 70.0, 0.8]],
+        np.float64,
+    )
+    # Registry anchored at crop 0's true embedding; a tight sim gate then
+    # DISCRIMINATES a mis-scaled crop (its embedding rotates away and the
+    # distance blows past the gate).
+    crop = image_u8[29:89, 39:109, :]
+    lb, _ = letterbox_host(crop / 255, 64, "cubic")
+    emb = fi.embed(lb[None].astype(np.float32))[0]
+    reg = np.stack([emb, -emb]).astype(np.float32)
+    ids = ["alice", "bob"]
+    fi.hps["sim_th"] = 0.2
+
+    host = fi._identify_image(image_f, boxes, ids, reg)
+    assert host, "anchored registry must keep at least crop 0 on the host"
+    dev = fi._identify_chunk_device(
+        [image_f], [boxes], ids, jnp.asarray(reg)
+    )[0]
+    assert [r["box_index"] for r in dev] == [r["box_index"] for r in host]
+    assert [r["subject_id"] for r in dev] == [r["subject_id"] for r in host]
+
+
+def test_roi_taps_degenerate_aspect_raises():
+    """Crops thinner than image_size:1 letterbox to a zero-size resize target;
+    the host path (and the reference) crash in cv2.resize. The tap builder
+    must refuse them too instead of silently emitting a black crop."""
+    from face_vijnana_yolov3_tpu.ops.roi import roi_letterbox_taps
+
+    with pytest.raises(ValueError, match="degenerate crop aspect"):
+        roi_letterbox_taps(0, 0, 1, 490, 64)  # 1x490 -> new_h = 0
+    with pytest.raises(ValueError, match="degenerate crop aspect"):
+        roi_letterbox_taps(0, 0, 490, 1, 64)  # 490x1 -> new_w = 0
+    # sane aspect still fine
+    ri, rw, ci, cw = roi_letterbox_taps(0, 0, 30, 40, 64)
+    assert ri.shape == (64, 4) and cw.shape == (64, 4)
