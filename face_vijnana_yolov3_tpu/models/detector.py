@@ -5,7 +5,8 @@ Capability-equivalent to the reference FaceDetector model
 13x13x1024) → Conv2D(6, 3x3, 'same', linear) → 13x13x6
 [obj, bx, by, bw, bh, score] raw logits. Trained with plain MSE against the
 13x13x6 GT tensor, exactly as the reference compiles loss='mse'
-(face_detection.py:381 — its fd_loss exists but is commented out).
+(face_detection.py:381 — its fd_loss exists but is commented out; the
+equivalent `fd_loss` ships below for surface parity, equally unused).
 """
 
 from __future__ import annotations
@@ -156,3 +157,36 @@ class FaceDetectorModel:
         """Keras loss='mse' (face_detection.py:381): mean squared error over all
         elements (per-sample mean over the 13x13x6 tensor, then batch mean)."""
         return jnp.mean(jnp.square(pred - gt))
+
+
+_K_EPSILON = 1e-7  # keras.backend.epsilon() in the reference's Keras 2.2.4
+
+
+def _keras_binary_crossentropy(target, output):
+    """K.binary_crossentropy(target, output, from_logits=False): clip the
+    (probability-space) output to [eps, 1-eps], elementwise BCE."""
+    output = jnp.clip(output, _K_EPSILON, 1.0 - _K_EPSILON)
+    return -(target * jnp.log(output)
+             + (1.0 - target) * jnp.log(1.0 - output))
+
+
+def fd_loss(y_true, y_pred):
+    """The reference's custom detector loss, defined but commented out of every
+    compile (reference src/space/face_detection.py:59-64, :381) — shipped for
+    surface parity, NOT used by training (the parity default is loss='mse',
+    like the reference).
+
+    Faithful quirks: BCE is applied to the RAW linear head channels as if they
+    were probabilities (the clip to [1e-7, 1-1e-7] is what makes negative
+    logits 'work'), and the box term is literally mean(sqrt(square(diff)))
+    over channels 1:5 — |x| with sqrt's undefined gradient at 0.
+
+    Returns the per-cell (…, 13, 13) loss map, un-reduced, exactly like the
+    reference function (Keras applies the final mean in the training loop).
+    """
+    o_loss = _keras_binary_crossentropy(y_true[..., 0], y_pred[..., 0])
+    l2_loss = jnp.mean(
+        jnp.sqrt(jnp.square(y_true[..., 1:5] - y_pred[..., 1:5])), axis=-1
+    )
+    c_loss = _keras_binary_crossentropy(y_true[..., 5], y_pred[..., 5])
+    return (o_loss + l2_loss + c_loss) / 3.0

@@ -529,3 +529,43 @@ def test_bn_custom_vjp_matches_autodiff(dtype):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    atol=2e-6, rtol=2e-5)
+
+
+def test_fd_loss_matches_tf_keras():
+    """The shipped (reference-unused) fd_loss matches the reference formula
+    executed by TF Keras' own binary_crossentropy backend op, including the
+    probability-space clip on raw linear-head values and the
+    mean(sqrt(square(.))) box term (reference face_detection.py:59-64)."""
+    tf = pytest.importorskip("tensorflow")
+    from face_vijnana_yolov3_tpu.models.detector import fd_loss
+
+    rng = np.random.default_rng(23)
+    y_true = np.zeros((2, 13, 13, 6), np.float32)
+    y_true[..., 0] = rng.integers(0, 2, (2, 13, 13))
+    y_true[..., 1:5] = rng.uniform(0, 1, (2, 13, 13, 4))
+    y_true[..., 5] = y_true[..., 0]
+    # raw linear head output: unbounded values, incl. negatives (the clip
+    # inside Keras BCE is load-bearing)
+    y_pred = rng.normal(0, 1.5, (2, 13, 13, 6)).astype(np.float32)
+
+    # Keras 2.2.4's backend (the reference runtime): clip to [eps, 1-eps],
+    # convert to logits, sigmoid_cross_entropy_with_logits. (The modern Keras
+    # in this image instead computes log(output + eps) after the clip, which
+    # diverges at clipped extremes — the reference semantics are 2.2.4's.)
+    def k224_bce(target, output, eps=1e-7):
+        output = tf.clip_by_value(output, eps, 1 - eps)
+        logits = tf.math.log(output / (1 - output))
+        return tf.nn.sigmoid_cross_entropy_with_logits(
+            labels=target, logits=logits
+        ).numpy()
+
+    o = k224_bce(tf.constant(y_true[..., 0]), tf.constant(y_pred[..., 0]))
+    l2 = tf.reduce_mean(
+        tf.sqrt(tf.square(y_true[..., 1:5] - y_pred[..., 1:5])), axis=-1
+    ).numpy()
+    c = k224_bce(tf.constant(y_true[..., 5]), tf.constant(y_pred[..., 5]))
+    expected = (o + l2 + c) / 3.0
+
+    got = np.asarray(fd_loss(y_true, y_pred))
+    assert got.shape == (2, 13, 13)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
