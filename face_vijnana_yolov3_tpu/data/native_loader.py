@@ -33,7 +33,9 @@ def _load() -> "ctypes.CDLL | None":
     _TRIED = True
     so = os.path.join(_lib_dir(), "libfvy_loader.so")
     src = os.path.join(_lib_dir(), "fvy_loader.cpp")
-    if not os.path.exists(so):
+    stale = (os.path.exists(so) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(so))
+    if not os.path.exists(so) or stale:
         if not os.path.exists(src):
             return None
         try:

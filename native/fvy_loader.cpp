@@ -55,6 +55,11 @@ int decode_one(const char* path, unsigned char* base, int max_h, int max_w,
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = err_exit;
+  // Constructed BEFORE setjmp: a mid-scanline error longjmps back across the
+  // scan loop, and jumping over the lifetime of an object with a nontrivial
+  // destructor is UB (practically: the row buffer would leak per failed
+  // decode). Living above the jump target, it destructs on every exit path.
+  std::vector<unsigned char> row;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
     fclose(f);
@@ -77,7 +82,7 @@ int decode_one(const char* path, unsigned char* base, int max_h, int max_w,
     fclose(f);
     return 3;  // staging buffer too small — caller sizes via fvy_jpeg_size
   }
-  std::vector<unsigned char> row(static_cast<size_t>(w) * 3);
+  row.resize(static_cast<size_t>(w) * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     unsigned char* rp = row.data();
     jpeg_read_scanlines(&cinfo, &rp, 1);
