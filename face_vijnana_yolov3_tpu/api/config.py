@@ -72,6 +72,15 @@ class FdConf:
     # rescued it); auto scores 0.8445 on the latter — above both fixed
     # choices (scripts/probe_precision_ap.py).
     int8_calib_percentile: float | str = "auto"
+    # PTQ bias correction: fold each conv's measured per-channel mean
+    # quantization error (vs the f32 twin, on the calibration batch) into its
+    # deployed bias — zero runtime cost (models/quant.bias_correct_quant).
+    # Only useful WITH a fixed clip percentile (it removes the clip's
+    # systematic mean shift: p99.99 0.744→0.793, +tail4 0.820→0.848 on the
+    # brittle bench artifact); it HURTS maxabs/"auto" grids (correcting
+    # calibration-batch rounding noise overfits: auto 0.738→0.459).
+    # Ignored when int8_qat_steps > 0 (QAT trains the uncorrected program).
+    int8_bias_correct: bool = False
     # Mixed-precision tail: keep the last N trunk residual blocks bf16 in the
     # int8 serving path (0 = full int8). Trained checkpoints' late-layer
     # outliers are the int8 AP gap (models/quant.py bf16_tail_blocks).
@@ -166,6 +175,8 @@ class FiConf:
     # Same semantics as FdConf.int8_calib_percentile ("auto" = per-channel
     # measured-MSE choice between maxabs and clip candidates).
     int8_calib_percentile: float | str = "auto"
+    # Same semantics as FdConf.int8_bias_correct.
+    int8_bias_correct: bool = False
     # Same trunk f32-front guard as FdConf.bf16_f32_front, for the bf16
     # folded embed path (models/identifier.embed_folded).
     bf16_f32_front: int = 2

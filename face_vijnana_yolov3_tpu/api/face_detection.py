@@ -196,6 +196,10 @@ class FaceDetectorPipeline:
                 percentile=percentile,
                 bf16_tail_blocks=getattr(self.conf, "int8_bf16_tail", 0),
                 act_scales=act_scales,
+                # off after QAT: the refined kernels were trained against the
+                # uncorrected biases (models/quant.quantize_folded docstring)
+                bias_correct=(not qat_steps) and bool(
+                    getattr(self.conf, "int8_bias_correct", False)),
             )
         )
         self._invalidate_jits()

@@ -208,6 +208,8 @@ class FaceIdentifierPipeline:
                 self.model.quantize(
                     folded, jnp.asarray(images[:16], jnp.float32),
                     percentile=pct, bf16_tail_blocks=tail,
+                    bias_correct=bool(
+                        getattr(self.conf, "int8_bias_correct", False)),
                 )
             )
         n = images.shape[0]

@@ -117,7 +117,8 @@ class FaceDetectorModel:
     # -------------------------------------------------------------- int8 serving
 
     def quantize(self, folded, x_calib, *, percentile: float | None = None,
-                 bf16_tail_blocks: int = 0, act_scales=None):
+                 bf16_tail_blocks: int = 0, act_scales=None,
+                 bias_correct: bool = False):
         """Calibrated int8 qparams from folded params (models/quant.py).
 
         TPU-native serving optimization (no reference counterpart): int8 MXU
@@ -128,12 +129,15 @@ class FaceDetectorModel:
         gap, models/quant.py).
         act_scales: precomputed scale vectors (required after a QAT
         refinement so the deployed scales equal the trained-against ones).
+        bias_correct: fold measured per-channel mean quantization error into
+        the deployed biases (models/quant.bias_correct_quant).
         """
         from face_vijnana_yolov3_tpu.models import quant
 
         return quant.quantize_folded(
             folded, x_calib, self.ops, percentile=percentile,
             bf16_tail_blocks=bf16_tail_blocks, act_scales=act_scales,
+            bias_correct=bias_correct,
         )
 
     def apply_quant(self, qparams, x, *, head_dtype=jnp.bfloat16,

@@ -136,18 +136,19 @@ class FaceIdentifierModel:
         return self._dense_l2norm(folded["dense1"], outs["trunk"], compute_dtype)
 
     def quantize(self, folded, x_calib, *, percentile: float | None = None,
-                 bf16_tail_blocks: int = 0):
+                 bf16_tail_blocks: int = 0, bias_correct: bool = False):
         """Calibrated int8 qparams for the trunk; dense1 stays bf16 (it is
         ~0.1% of the embed FLOPs and feeds the L2-normalize directly).
 
         bf16_tail_blocks: keep the LAST N residual blocks folded-bf16
         (quant.quantize_folded) — with N = n_blocks-(front-1) this is the
-        bf16-with-int8-front-guard hybrid (FiConf.bf16_front_mode)."""
+        bf16-with-int8-front-guard hybrid (FiConf.bf16_front_mode).
+        bias_correct: see quant.bias_correct_quant."""
         from face_vijnana_yolov3_tpu.models import quant
 
         qparams = quant.quantize_folded(
             folded, x_calib, self.ops, percentile=percentile,
-            bf16_tail_blocks=bf16_tail_blocks,
+            bf16_tail_blocks=bf16_tail_blocks, bias_correct=bias_correct,
         )
         qparams["dense1"] = jax.device_get(folded["dense1"])
         return qparams

@@ -35,25 +35,36 @@ def main():
         i = args.index("--only")
         only = args[i + 1]
         args = args[:i] + args[i + 2:]
-    pcts = [a if a == "auto" else float(a) for a in args] or [
-        0.0, "auto", 99.99, 99.9, 99.5]
-    # rows: (precision, int8 pct, int8 bf16-tail, bf16 f32-front, front mode)
-    rows = ([("float32", 0.0, 0, 0, "f32")]
+    def parse_pct(a):
+        # "<pct>[+bc]" — +bc turns on PTQ bias correction (quant.py)
+        bc = a.endswith("+bc")
+        if bc:
+            a = a[:-3]
+        return (a if a == "auto" else float(a)), bc
+
+    pcts = [parse_pct(a) for a in args] or [
+        (0.0, False), ("auto", False), (99.99, False), (99.9, False),
+        (99.5, False)]
+    # rows: (precision, int8 pct, int8 bf16-tail, bf16 f32-front, front mode,
+    #        bias_correct)
+    rows = ([("float32", 0.0, 0, 0, "f32", False)]
             # bf16 f32-front sweep (FdConf.bf16_f32_front; default 2):
             # front=0 is the round-1 all-bf16 trunk that collapses on rare
             # images (scripts/probe_bf16_degen.py)
-            + [("bfloat16", 0.0, 0, f, "f32") for f in (0, 1, 2)]
+            + [("bfloat16", 0.0, 0, f, "f32", False) for f in (0, 1, 2)]
             # int8-front hybrid (FdConf.bf16_front_mode="int8") — measured
             # NEGATIVE result: AP50 0.0957/0.1731 on the bench checkpoint
             # (int8's absolute grid noise in the brittle front, amplified by
             # the bf16 tail; full int8's requant grids absorb the same noise)
-            + [("bfloat16", 99.99, 0, f, "int8") for f in (1, 2)]
-            + [("int8", p, 0, 0, "f32") for p in pcts]
+            + [("bfloat16", 99.99, 0, f, "int8", False) for f in (1, 2)]
+            + [("int8", p, 0, 0, "f32", bc) for p, bc in pcts]
             # mixed bf16 tail (models/quant.py bf16_tail_blocks) at the
             # default percentile
-            + [("int8", 99.99, t, 0, "f32") for t in (1, 2, 4)])
-    for precision, pct, tail, front, front_mode in rows:
+            + [("int8", 99.99, t, 0, "f32", False) for t in (1, 2, 4)])
+    for precision, pct, tail, front, front_mode, bc in rows:
         tag = precision if not pct else f"{precision}-p{pct}"
+        if bc:
+            tag += "-bc"
         if tail:
             tag += f"-tail{tail}"
         if precision == "bfloat16":
@@ -72,6 +83,7 @@ def main():
         )
         conf.hps.face_conf_th = 0.5
         conf.int8_calib_percentile = pct
+        conf.int8_bias_correct = bc
         conf.int8_bf16_tail = tail
         conf.bf16_f32_front = front
         conf.bf16_front_mode = front_mode

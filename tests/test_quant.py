@@ -392,3 +392,80 @@ def test_fi_embed_bf16_int8_front():
     assert np.allclose(np.linalg.norm(e, axis=-1), 1.0, atol=1e-2)
     e_ref = FaceIdentifierPipeline(conf).embed(x)  # f32 reference
     assert np.linalg.norm(e - e_ref, axis=-1).max() < 0.2
+
+
+def test_bias_correct_shrinks_mean_error(trunk_setup):
+    """PTQ bias correction (quant.bias_correct_quant): the per-channel MEAN
+    trunk-output error vs the f32 twin shrinks decisively; only biases change
+    (same quantized kernels, scales, and program structure); the calibration
+    batch's mean error at the trunk output is near-eliminated."""
+    m, _params, _state, folded, x = trunk_setup
+    q0 = m.quantize(folded, x)
+    q1 = m.quantize(folded, x, bias_correct=True)
+
+    # structure identical, kernels/scales untouched, biases moved
+    for k in q0:
+        if not k.startswith("conv_"):
+            continue
+        np.testing.assert_array_equal(q0[k]["kernel_q"], q1[k]["kernel_q"])
+        np.testing.assert_array_equal(q0[k]["w_scale"], q1[k]["w_scale"])
+    assert any(
+        not np.array_equal(q0[k]["bias"], q1[k]["bias"])
+        for k in q0 if k.startswith("conv_")
+    )
+
+    f = darknet.apply_graph_folded(folded, x, m.ops,
+                                   compute_dtype=jnp.float32)["trunk"]
+    o0 = quant.apply_graph_quant(q0, x, m.ops)["trunk"]
+    o1 = quant.apply_graph_quant(q1, x, m.ops)["trunk"]
+    m0 = float(np.abs(np.asarray(jnp.mean(o0 - f, axis=(0, 1, 2)))).mean())
+    m1 = float(np.abs(np.asarray(jnp.mean(o1 - f, axis=(0, 1, 2)))).mean())
+    assert m1 < 0.5 * m0, f"mean err {m0} -> {m1}: not a decisive shrink"
+    # and the overall error must not get worse
+    e0 = float(jnp.mean(jnp.square(o0 - f)))
+    e1 = float(jnp.mean(jnp.square(o1 - f)))
+    assert e1 < 1.1 * e0
+
+
+def test_bias_correct_with_tail(trunk_setup):
+    """Bias correction composes with the bf16 tail: correction covers the
+    int8 section, the tail params are untouched, and the program runs."""
+    m, _params, _state, folded, x = trunk_setup
+    q = m.quantize(folded, x, bf16_tail_blocks=2, bias_correct=True)
+    q0 = m.quantize(folded, x, bf16_tail_blocks=2)
+    assert q["tail_start"] == q0["tail_start"]
+    for k, v in q0["tail"].items():
+        np.testing.assert_array_equal(v["bias"], q["tail"][k]["bias"])
+    out = quant.apply_graph_quant(q, x, m.ops)["trunk"]
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_pipeline_bias_correct_plumbing(tmp_path):
+    """FdConf.int8_bias_correct reaches quantize_folded through the detect
+    pipeline's calibrate_int8."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+
+    conf = FdConf(weights_path="missing.weights")
+    conf.nn_arch.image_size = 64
+    conf.int8_bias_correct = True
+    fd = FaceDetectorPipeline(conf, precision="int8")
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    fd.calibrate_int8(imgs)
+    q_bc = jax.device_get(fd._qparams)
+
+    conf2 = FdConf(weights_path="missing.weights")
+    conf2.nn_arch.image_size = 64
+    fd2 = FaceDetectorPipeline(conf2, precision="int8")
+    fd2.params, fd2.state = fd.params, fd.state  # same random trunk
+    fd2.calibrate_int8(imgs)
+    q_plain = jax.device_get(fd2._qparams)
+    # at least one bias differs (the knob took effect), kernels identical
+    ks = [k for k in q_bc if k.startswith("conv_")]
+    assert any(
+        not np.array_equal(q_bc[k]["bias"], q_plain[k]["bias"]) for k in ks
+    )
+    for k in ks:
+        np.testing.assert_array_equal(q_bc[k]["kernel_q"],
+                                      q_plain[k]["kernel_q"])
