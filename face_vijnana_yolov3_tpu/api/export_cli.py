@@ -1,0 +1,146 @@
+"""`fvy-export`: serialize a serving program into a portable artifact.
+
+Deploy-time counterpart of the reference's bake-weights-into-Docker flow
+(reference docker/code/Dockerfile:11-15): instead of shipping a Python stack
+plus checkpoint files, export ONE self-contained StableHLO artifact
+(core/export.py) that any JAX runtime can load and call.
+
+    fvy-export --target detect --out face_detect.fvyx \
+        [--conf face_vijnana_yolov3.json] [--set fd_conf.model_path=...] \
+        [--precision int8 --calib 'val/*.jpg'] [--batch 8] [--platforms tpu,cpu]
+
+Targets:
+  detect    fused detector: letterboxed images -> (cands, counts)
+  embed     fid extractor: crops -> embeddings
+  identify  embed + registry match: (crops, registry) -> (emb, idx, dist)
+
+int8 exports need representative calibration images (--calib glob of JPEGs,
+letterboxed here exactly like the evaluate path letterboxes them).
+"""
+
+from __future__ import annotations
+
+import glob
+import sys
+
+import numpy as np
+
+from face_vijnana_yolov3_tpu.api.config import apply_overrides, load_conf
+
+
+def _load_calib(pattern: str, image_size: int, limit: int = 16) -> np.ndarray:
+    """Glob JPEGs -> (N,S,S,3) f32 letterboxed batch (reference /255-then-
+    resize order, face_detection.py:113)."""
+    from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_host
+    from face_vijnana_yolov3_tpu.utils.io import imread
+
+    files = sorted(glob.glob(pattern))[:limit]
+    if not files:
+        raise SystemExit(f"--calib {pattern!r} matched no files")
+    batch = [
+        letterbox_host(imread(f).astype(np.float32) / 255.0, image_size)[0]
+        for f in files
+    ]
+    return np.stack(batch)
+
+
+def main(argv: list[str] | None = None):
+    from face_vijnana_yolov3_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    argv = sys.argv[1:] if argv is None else argv
+
+    conf_path = None
+    overrides: list[str] = []
+    target = out = calib = None
+    precision = "float32"
+    batch: int | None = None
+    platforms = ("tpu", "cpu")
+
+    it = iter(argv)
+    for a in it:
+        def _val(flag=a):
+            nxt = next(it, None)
+            if nxt is None:
+                raise SystemExit(f"{flag} requires an argument")
+            return nxt
+
+        if a.startswith("--conf="):
+            conf_path = a.split("=", 1)[1]
+        elif a == "--conf":
+            conf_path = _val()
+        elif a == "--set":
+            overrides.append(_val())
+        elif a.startswith("--set="):
+            overrides.append(a.split("=", 1)[1])
+        elif a == "--target":
+            target = _val()
+        elif a.startswith("--target="):
+            target = a.split("=", 1)[1]
+        elif a == "--out":
+            out = _val()
+        elif a.startswith("--out="):
+            out = a.split("=", 1)[1]
+        elif a == "--precision":
+            precision = _val()
+        elif a.startswith("--precision="):
+            precision = a.split("=", 1)[1]
+        elif a == "--batch":
+            batch = int(_val())
+        elif a.startswith("--batch="):
+            batch = int(a.split("=", 1)[1])
+        elif a == "--calib":
+            calib = _val()
+        elif a.startswith("--calib="):
+            calib = a.split("=", 1)[1]
+        elif a == "--platforms":
+            platforms = tuple(_val().split(","))
+        elif a.startswith("--platforms="):
+            platforms = tuple(a.split("=", 1)[1].split(","))
+        else:
+            raise SystemExit(f"unknown argument {a!r}")
+
+    if target not in ("detect", "embed", "identify"):
+        raise SystemExit("--target must be detect, embed, or identify")
+    if not out:
+        raise SystemExit("--out is required")
+
+    conf = load_conf(conf_path)
+    apply_overrides(conf, overrides)
+
+    from face_vijnana_yolov3_tpu.core import export as fvy_export
+
+    if target == "detect":
+        from face_vijnana_yolov3_tpu.api.face_detection import (
+            FaceDetectorPipeline,
+        )
+
+        fd = FaceDetectorPipeline(conf.fd_conf, precision=precision)
+        if precision == "int8":
+            if calib is None:
+                raise SystemExit("--precision int8 requires --calib")
+            fd.calibrate_int8(_load_calib(calib, fd.image_size))
+        header = fvy_export.export_detector(
+            fd, out, batch=batch, platforms=platforms
+        )
+    else:
+        from face_vijnana_yolov3_tpu.api.face_identification import (
+            FaceIdentifierPipeline,
+        )
+
+        fi = FaceIdentifierPipeline(conf, precision=precision)
+        if precision == "int8":
+            if calib is None:
+                raise SystemExit("--precision int8 requires --calib")
+            # embed() calibrates _q_embed on its first batch
+            fi.embed(_load_calib(calib, fi.image_size))
+        header = fvy_export.export_embedder(
+            fi, out, batch=batch,
+            with_registry=(target == "identify"), platforms=platforms,
+        )
+
+    print(f"[fvy-export] wrote {out}: {header}")
+
+
+if __name__ == "__main__":
+    main()

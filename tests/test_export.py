@@ -1,0 +1,186 @@
+"""Serialized serving artifacts (core/export.py + api/export_cli.py).
+
+The deploy contract: an exported artifact, deserialized with nothing but
+jax, must reproduce the live pipeline's fused serving outputs bit-exactly,
+across batch sizes (symbolic batch dim), and carry a self-describing header.
+"""
+
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from face_vijnana_yolov3_tpu.api.config import Conf
+from face_vijnana_yolov3_tpu.core.export import (
+    DEFAULT_PLATFORMS,
+    load_artifact,
+)
+
+
+def _fd_conf(size=64):
+    conf = Conf()
+    conf.fd_conf.weights_path = "missing.weights"
+    conf.fd_conf.nn_arch.image_size = size
+    conf.fd_conf.hps.face_conf_th = 0.05
+    return conf
+
+
+@pytest.fixture(scope="module")
+def fd_pipeline():
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+
+    return FaceDetectorPipeline(_fd_conf().fd_conf, precision="float32")
+
+
+def _rand_images(n, size=64, seed=0):
+    return np.random.default_rng(seed).random((n, size, size, 3)).astype(
+        np.float32
+    )
+
+
+def test_export_detector_symbolic_batch_roundtrip(fd_pipeline, tmp_path):
+    from face_vijnana_yolov3_tpu.core.export import export_detector
+
+    path = str(tmp_path / "detect.fvyx")
+    header = export_detector(fd_pipeline, path, platforms=("cpu",))
+    assert header["kind"] == "face_detect"
+    assert header["batch"] is None
+
+    art = load_artifact(path)
+    assert art.meta["precision"] == "float32"
+    assert art.meta["num_cands"] == fd_pipeline._pp_cfg.num_cands
+    # One artifact serves multiple batch sizes (symbolic dim) and matches
+    # the live fused program bit-exactly.
+    for n, seed in ((2, 0), (1, 1)):
+        x = _rand_images(n, seed=seed)
+        cands_live, counts_live = fd_pipeline.detect_batch(x)
+        cands_art, counts_art = art(x)
+        np.testing.assert_array_equal(np.asarray(cands_art), cands_live)
+        np.testing.assert_array_equal(np.asarray(counts_art), counts_live)
+
+
+def test_export_detector_int8_requires_calibration(tmp_path):
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.core.export import export_detector
+
+    fd = FaceDetectorPipeline(_fd_conf().fd_conf, precision="int8")
+    with pytest.raises(RuntimeError, match="calibrate_int8"):
+        export_detector(fd, str(tmp_path / "x.fvyx"), platforms=("cpu",))
+
+
+def test_export_detector_int8_roundtrip(tmp_path):
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.core.export import export_detector
+
+    fd = FaceDetectorPipeline(_fd_conf().fd_conf, precision="int8")
+    fd.calibrate_int8(_rand_images(4, seed=2))
+    path = str(tmp_path / "detect_int8.fvyx")
+    export_detector(fd, path, batch=2, platforms=("cpu",))
+
+    art = load_artifact(path)
+    assert art.meta["precision"] == "int8"
+    assert art.meta["batch"] == 2
+    x = _rand_images(2, seed=3)
+    cands_live, counts_live = fd.detect_batch(x)
+    cands_art, counts_art = art(x)
+    np.testing.assert_array_equal(np.asarray(cands_art), cands_live)
+    np.testing.assert_array_equal(np.asarray(counts_art), counts_live)
+
+
+def test_export_embedder_with_registry(tmp_path):
+    from face_vijnana_yolov3_tpu.api.face_identification import (
+        FaceIdentifierPipeline,
+    )
+    from face_vijnana_yolov3_tpu.core.export import export_embedder
+    from face_vijnana_yolov3_tpu.ops.similarity import match_embeddings
+
+    conf = _fd_conf()
+    conf.fi_conf.weights_path = "missing.weights"
+    conf.fi_conf.nn_arch.image_size = 64
+    conf.fi_conf.nn_arch.dense1_dim = 8
+    fi = FaceIdentifierPipeline(conf, precision="float32")
+
+    path = str(tmp_path / "identify.fvyx")
+    header = export_embedder(fi, path, platforms=("cpu",))
+    assert header["kind"] == "face_embed" and header["with_registry"]
+
+    art = load_artifact(path)
+    crops = _rand_images(3, seed=4)
+    # Bit-exact vs the same unpadded program (fi.embed() bucket-pads, which
+    # is allclose but not a like-for-like batch shape).
+    import jax
+
+    emb_live = np.asarray(jax.jit(fi._embed_raw(0))(crops))
+    np.testing.assert_allclose(fi.embed(crops), emb_live, rtol=0, atol=1e-5)
+    # Registry is a runtime argument: two different registry sizes through
+    # the same artifact (both dims symbolic).
+    for n_reg, seed in ((5, 5), (2, 6)):
+        reg = np.random.default_rng(seed).random((n_reg, 8)).astype(np.float32)
+        emb_art, idx_art, dist_art = art(crops, reg)
+        np.testing.assert_array_equal(np.asarray(emb_art), emb_live)
+        idx_live, dist_live = match_embeddings(emb_live, reg)
+        np.testing.assert_array_equal(np.asarray(idx_art), np.asarray(idx_live))
+        np.testing.assert_array_equal(
+            np.asarray(dist_art), np.asarray(dist_live)
+        )
+
+
+def test_export_embedder_int8_requires_calibration(tmp_path):
+    from face_vijnana_yolov3_tpu.api.face_identification import (
+        FaceIdentifierPipeline,
+    )
+    from face_vijnana_yolov3_tpu.core.export import export_embedder
+
+    conf = _fd_conf()
+    conf.fi_conf.weights_path = "missing.weights"
+    conf.fi_conf.nn_arch.image_size = 64
+    fi = FaceIdentifierPipeline(conf, precision="int8")
+    with pytest.raises(RuntimeError, match="calibration"):
+        export_embedder(fi, str(tmp_path / "x.fvyx"), platforms=("cpu",))
+
+
+def test_load_artifact_rejects_non_artifact(tmp_path):
+    bad = tmp_path / "bad.fvyx"
+    bad.write_bytes(b"NOPE" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="not a FVYX"):
+        load_artifact(str(bad))
+
+
+def test_load_artifact_rejects_newer_format(tmp_path):
+    hdr = json.dumps({"format_version": 99}).encode()
+    p = tmp_path / "future.fvyx"
+    p.write_bytes(b"FVYX" + struct.pack("<I", len(hdr)) + hdr + b"")
+    with pytest.raises(ValueError, match="newer"):
+        load_artifact(str(p))
+
+
+def test_default_platforms_include_tpu_and_cpu():
+    assert "tpu" in DEFAULT_PLATFORMS and "cpu" in DEFAULT_PLATFORMS
+
+
+def test_export_cli_detect(tmp_path, monkeypatch):
+    from face_vijnana_yolov3_tpu.api import export_cli
+    from face_vijnana_yolov3_tpu.api.config import conf_to_dict
+
+    conf_path = tmp_path / "conf.json"
+    conf_path.write_text(json.dumps(conf_to_dict(_fd_conf())))
+    out = tmp_path / "cli_detect.fvyx"
+    monkeypatch.chdir(tmp_path)
+    export_cli.main([
+        "--conf", str(conf_path), "--target", "detect",
+        "--out", str(out), "--batch", "1", "--platforms", "cpu",
+    ])
+    assert os.path.exists(out)
+    art = load_artifact(str(out))
+    assert art.meta["kind"] == "face_detect"
+    cands, counts = art(_rand_images(1, seed=7))
+    assert np.asarray(cands).shape[0] == 1 and np.asarray(counts).shape == (1,)
+
+
+def test_export_cli_rejects_bad_target(tmp_path):
+    from face_vijnana_yolov3_tpu.api import export_cli
+
+    with pytest.raises(SystemExit, match="--target"):
+        export_cli.main(["--target", "bogus", "--out", str(tmp_path / "x")])
