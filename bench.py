@@ -9,13 +9,26 @@ The reference runs this pipeline one image at a time with host-side numpy
 decode/NMS (reference src/space/face_detection.py:885-949); the rebuild target
 from BASELINE.json is ≥5000 img/s on a v5e-8, i.e. 625 img/s/chip.
 
+Time contract: EVERY invocation is bounded by FVY_BENCH_BUDGET_S wall-clock
+seconds (default 900) measured from process start. The budget is enforced by
+stage gates: the synthetic-dataset build, the single training chunk (AT MOST
+ONE per invocation — the cached run under .bench_cache/ converges to
+TRAIN_EPOCHS across invocations), and each AP pass only start when the
+remaining budget covers their estimated cost plus a reserve for the
+throughput measurement, which ALWAYS runs with whatever checkpoint exists
+(falling back to random weights when none does). AP results are cached in
+.bench_cache/meta.json keyed by the checkpoint's epoch count, so a warm
+invocation skips the three test-mode passes entirely. The JSON line reports
+`epochs_done` so a partially-converged number is never mistaken for the
+published recipe (400 epochs).
+
 Weights: random-weight int8 calibration is the easy case — trained trunks
 develop residual-stream outliers that collapse naive int8 (STATUS.md). So the
-bench trains once through the real pipeline (synthetic dataset → SPMD train
-step → Orbax checkpoint, cached under .bench_cache/), calibrates int8 on real
-letterboxed images, and reports BOTH throughput and the int8-vs-f32 AP50
-drift on the held-out split — the headline number and the accuracy claim are
-the same artifact.
+bench trains through the real pipeline (synthetic 640-train/160-val dataset →
+SPMD train step → Orbax checkpoint), calibrates int8 on real letterboxed
+images, and reports BOTH throughput and the int8-vs-f32 AP50 drift on the
+held-out split — the headline number and the accuracy claim are the same
+artifact.
 
 Methodology: iterations are chained inside ONE jitted lax.scan with a data
 dependency between steps (input perturbed by the previous step's counts).
@@ -41,80 +54,137 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 # head-logit MAE 0.44 from bf16 in conv_0/1 alone) — robustness comes from
 # the data scale, not the serving path.
 TRAIN_EPOCHS = 400
-EPOCH_CHUNK = 60       # train in resumable chunks (kill-safe via the meta file)
+EPOCH_CHUNK = 60       # max epochs per invocation (one chunk, kill-safe)
 N_TRAIN, N_VAL = 640, 160
 
+# --- wall-clock budget ------------------------------------------------------
+BUDGET_S = float(os.environ.get("FVY_BENCH_BUDGET_S", "900"))
+_T0 = time.monotonic()
+# Reserve kept for the always-run throughput stage: covers a cold-tunnel
+# first-op stall (2-4 min observed; .claude verify notes) + two program
+# compiles when ~/.cache/fvy_jax_cache is cold.
+THROUGHPUT_RESERVE_S = 300.0
+AP_PASS_EST_S = 150.0        # one test-mode pass over N_VAL images, warm cache
+DATASET_BUILD_EST_S = 240.0  # 800 synthetic jpgs, single core
+NPZ_DECODE_EST_S = 480.0     # first-ever decode of the train set to the npz stack
+CHUNK_OVERHEAD_EST_S = 120.0  # pipeline init + (cached) train-step compile
 
-def ensure_trained_checkpoint():
-    """Train once through the real pipeline (or reuse/extend the cached run).
 
-    Progress is tracked in CACHE/meta.json; a killed run resumes from the
-    interval checkpoint and continues to TRAIN_EPOCHS, so any single bench
-    invocation is bounded while the cache converges.
-    Returns (ckpt_path, valdir).
-    """
-    from face_vijnana_yolov3_tpu.core.checkpoints import checkpoint_exists
-    from face_vijnana_yolov3_tpu.api.config import FdConf
-    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+def elapsed():
+    return time.monotonic() - _T0
 
-    ckpt = os.path.join(CACHE, "fd_ckpt")
-    valdir = os.path.join(CACHE, "valset")
+
+def remaining():
+    return BUDGET_S - elapsed()
+
+
+def _log(msg):
+    print(f"# [{elapsed():.0f}s/{BUDGET_S:.0f}s] {msg}", file=sys.stderr)
+
+
+def _load_meta():
     meta_path = os.path.join(CACHE, "meta.json")
     meta = {"epochs_done": 0}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+    return meta
 
-    while meta["epochs_done"] < TRAIN_EPOCHS:
-        sys.path.insert(
-            0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "scripts"))
+
+def _save_meta(meta):
+    with open(os.path.join(CACHE, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def ensure_trained_checkpoint():
+    """Advance the cached training run by AT MOST ONE chunk, within budget.
+
+    Progress is tracked in CACHE/meta.json; a killed run resumes from the
+    interval checkpoint, so the cache converges to TRAIN_EPOCHS across
+    invocations while every single invocation stays bounded. Stages that
+    don't fit the remaining budget (minus the throughput reserve) are
+    skipped — the caller proceeds with whatever checkpoint exists.
+    Returns (ckpt_path, valdir, meta).
+    """
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.core.checkpoints import checkpoint_exists
+
+    ckpt = os.path.join(CACHE, "fd_ckpt")
+    valdir = os.path.join(CACHE, "valset")
+    meta = _load_meta()
+
+    # Dataset build (once).
+    if not os.path.exists(os.path.join(CACHE, "validation.csv")):
+        if remaining() - THROUGHPUT_RESERVE_S < DATASET_BUILD_EST_S:
+            _log("skipping dataset build: insufficient budget")
+            return ckpt, valdir, meta
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
         from synthetic_e2e import make_dataset
 
         os.makedirs(CACHE, exist_ok=True)
-        if not os.path.exists(os.path.join(CACHE, "validation.csv")):
-            make_dataset(CACHE, n_train=N_TRAIN, n_val=N_VAL)
-        n_epochs = min(EPOCH_CHUNK, TRAIN_EPOCHS - meta["epochs_done"])
-        conf = FdConf(
-            raw_data_path=CACHE,
-            test_path=CACHE,
-            weights_path="missing.weights",
-            model_path=ckpt,
-        )
-        conf.hps.lr = 1e-3
-        conf.hps.epochs = max(n_epochs, 1)
-        conf.hps.batch_size = 16
-        conf.checkpoint_every = 20
-        conf.dataset_cache = "disk"  # npz stack next to the CSV: repeat
-        # invocations skip the ~8-min single-core JPEG decode entirely
-        if checkpoint_exists(ckpt):
-            conf.model_loading = True
-        t0 = time.time()
-        fd = FaceDetectorPipeline(conf)
-        losses = fd.train()
-        meta["epochs_done"] += conf.hps.epochs
-        with open(meta_path, "w") as f:
-            json.dump(meta, f)
-        print(f"# trained to epoch {meta['epochs_done']}/{TRAIN_EPOCHS} "
-              f"in {time.time()-t0:.0f}s "
-              f"(loss {losses[0]:.4f} -> {losses[-1]:.4f})", file=sys.stderr)
+        t0 = time.monotonic()
+        make_dataset(CACHE, n_train=N_TRAIN, n_val=N_VAL)
+        _log(f"dataset built in {time.monotonic()-t0:.0f}s")
 
-    # Val copy lives OUTSIDE the training loop: a deleted/missing valset must
+    # ONE training chunk, trimmed to the budget.
+    if meta["epochs_done"] < TRAIN_EPOCHS:
+        spe = float(meta.get("sec_per_epoch", 5.0))
+        npz_cost = 0.0 if any(
+            f.endswith(".npz") for f in os.listdir(CACHE)
+        ) else NPZ_DECODE_EST_S
+        avail = remaining() - THROUGHPUT_RESERVE_S - CHUNK_OVERHEAD_EST_S \
+            - npz_cost
+        n_epochs = min(EPOCH_CHUNK, TRAIN_EPOCHS - meta["epochs_done"],
+                       int(avail / spe) if avail > 0 else 0)
+        if n_epochs < 5:
+            _log(f"skipping training chunk: budget fits {n_epochs} epochs "
+                 f"(epochs_done={meta['epochs_done']})")
+        else:
+            conf = FdConf(
+                raw_data_path=CACHE,
+                test_path=CACHE,
+                weights_path="missing.weights",
+                model_path=ckpt,
+            )
+            conf.hps.lr = 1e-3
+            conf.hps.epochs = n_epochs
+            conf.hps.batch_size = 16
+            conf.checkpoint_every = 20
+            conf.dataset_cache = "disk"  # npz stack next to the CSV: repeat
+            # invocations skip the single-core JPEG decode entirely
+            if checkpoint_exists(ckpt):
+                conf.model_loading = True
+            t0 = time.monotonic()
+            fd = FaceDetectorPipeline(conf)
+            losses = fd.train()
+            dt = time.monotonic() - t0
+            meta["epochs_done"] += n_epochs
+            # Conservative (includes init/compile overhead) so the next
+            # invocation's trim errs toward fewer epochs, not a blown budget.
+            meta["sec_per_epoch"] = round(dt / n_epochs, 2)
+            _save_meta(meta)
+            _log(f"trained to epoch {meta['epochs_done']}/{TRAIN_EPOCHS} "
+                 f"in {dt:.0f}s (loss {losses[0]:.4f} -> {losses[-1]:.4f})")
+
+    # Val copy lives OUTSIDE the training gate: a deleted/missing valset must
     # be re-copied from the cached val_*.jpg, never by training an extra
     # epoch on the converged checkpoint the published numbers came from.
     import glob
     import shutil
 
-    import pandas as pd
+    if os.path.exists(os.path.join(CACHE, "validation.csv")):
+        import pandas as pd
 
-    os.makedirs(valdir, exist_ok=True)
-    for f in glob.glob(os.path.join(CACHE, "val_*.jpg")):
-        dst = os.path.join(valdir, os.path.basename(f))
-        if not os.path.exists(dst):
-            shutil.copy(f, dst)
-    pd.read_csv(os.path.join(CACHE, "validation.csv")).to_csv(
-        os.path.join(valdir, "validation.csv"), index=False)
-    return ckpt, valdir
+        os.makedirs(valdir, exist_ok=True)
+        for f in glob.glob(os.path.join(CACHE, "val_*.jpg")):
+            dst = os.path.join(valdir, os.path.basename(f))
+            if not os.path.exists(dst):
+                shutil.copy(f, dst)
+        pd.read_csv(os.path.join(CACHE, "validation.csv")).to_csv(
+            os.path.join(valdir, "validation.csv"), index=False)
+    return ckpt, valdir, meta
 
 
 def measure_ap(ckpt, valdir, precision):
@@ -142,9 +212,41 @@ def measure_ap(ckpt, valdir, precision):
     return float(maps[0]), float(np.mean(maps))
 
 
+def measure_aps_cached(ckpt, valdir, meta):
+    """AP passes, cached in meta.json per checkpoint epoch, budget-gated."""
+    key = str(meta["epochs_done"])
+    cache = meta.setdefault("ap_cache", {})
+    if key not in cache:
+        cache.clear()  # APs of an older checkpoint are dead — drop them
+        cache[key] = {}
+    ap = cache[key]
+    for precision, fields in (
+        ("float32", ("f32_ap50", "f32_map")),
+        ("int8", ("int8_ap50", "int8_map")),
+        ("bfloat16", ("bf16_ap50", None)),
+    ):
+        if fields[0] in ap:
+            continue
+        if remaining() - THROUGHPUT_RESERVE_S < AP_PASS_EST_S:
+            _log(f"skipping {precision} AP pass: insufficient budget")
+            continue
+        t0 = time.monotonic()
+        ap50, mean_map = measure_ap(ckpt, valdir, precision)
+        ap[fields[0]] = round(ap50, 4)
+        if fields[1]:
+            ap[fields[1]] = round(mean_map, 4)
+        _save_meta(meta)
+        _log(f"{precision} AP pass in {time.monotonic()-t0:.0f}s "
+             f"(AP50 {ap50:.4f})")
+    if "f32_ap50" in ap and "int8_ap50" in ap:
+        ap["int8_ap50_drift"] = round(ap["int8_ap50"] - ap["f32_ap50"], 4)
+    return dict(ap)
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
+
     from face_vijnana_yolov3_tpu.utils.runtime import enable_compile_cache
 
     enable_compile_cache()
@@ -159,10 +261,17 @@ def main():
 
     trained = True
     ap = {}
+    epochs_done = 0
     try:
-        ckpt, valdir = ensure_trained_checkpoint()
-        from face_vijnana_yolov3_tpu.core.checkpoints import load_checkpoint
+        ckpt, valdir, meta = ensure_trained_checkpoint()
+        from face_vijnana_yolov3_tpu.core.checkpoints import (
+            checkpoint_exists,
+            load_checkpoint,
+        )
 
+        if not checkpoint_exists(ckpt):
+            raise RuntimeError("no trained checkpoint within budget")
+        epochs_done = meta["epochs_done"]
         loaded = load_checkpoint(ckpt)
         params, state = loaded["params"], loaded["state"]
 
@@ -179,16 +288,12 @@ def main():
             for f in val_files
         ]).astype(np.float32))
 
-        ap["f32_ap50"], ap["f32_map"] = measure_ap(ckpt, valdir, "float32")
-        ap["bf16_ap50"], _ = measure_ap(ckpt, valdir, "bfloat16")
-        ap["int8_ap50"], ap["int8_map"] = measure_ap(ckpt, valdir, "int8")
-        ap["int8_ap50_drift"] = round(ap["int8_ap50"] - ap["f32_ap50"], 4)
-        print(f"# AP50 f32 {ap['f32_ap50']:.4f}  bf16 {ap['bf16_ap50']:.4f}  "
-              f"int8 {ap['int8_ap50']:.4f}  "
-              f"(drift {ap['int8_ap50_drift']:+.4f})", file=sys.stderr)
+        ap = measure_aps_cached(ckpt, valdir, meta)
+        if ap:
+            _log("AP " + "  ".join(f"{k} {v:+.4f}" for k, v in ap.items()))
     except Exception as e:  # no-TPU/dev environments: fall back to random
-        print(f"# trained-checkpoint path failed ({e!r}); "
-              "falling back to random weights", file=sys.stderr)
+        _log(f"trained-checkpoint path unavailable ({e!r}); "
+             "falling back to random weights")
         trained = False
         ap = {}  # drop any partial trained-ckpt APs: the throughput below
         # is measured on random weights, the JSON line must not mix models
@@ -203,8 +308,9 @@ def main():
     qparams = jax.device_put(model.quantize(folded, x_calib))
 
     def step_bf16(w, images):
-        # f32_front_blocks=2 is the serving default (FdConf.bf16_f32_front):
-        # throughput and the AP measured above are the same configuration.
+        # f32_front_blocks=2 matches FdConf.bf16_f32_front (the bf16 path's
+        # accuracy guard): throughput and the AP measured above are the same
+        # configuration. int8-auto (below) is the headline serving default.
         head = model.apply_folded(
             w, images, compute_dtype=jnp.bfloat16, f32_front_blocks=2
         )
@@ -215,8 +321,9 @@ def main():
         return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
 
     def chained(step, batch):
-        from face_vijnana_yolov3_tpu.utils.runtime import tpu_compiler_options
         from functools import partial
+
+        from face_vijnana_yolov3_tpu.utils.runtime import tpu_compiler_options
 
         @partial(jax.jit,
                  compiler_options=tpu_compiler_options("serving"))
@@ -245,20 +352,27 @@ def main():
         dt = (time.perf_counter() - t0) / N_ITER
         return batch / dt
 
+    # int8 b1024 is the headline serving default (int8-auto calibration,
+    # STATUS.md defaults table) and ALWAYS runs, budget notwithstanding —
+    # this line is the bench's reason to exist. Secondary paths only run
+    # with budget left.
     best, best_path, best_batch = 0.0, "", 0
-    for path, step, w, batches in (
-        ("bf16", step_bf16, folded, (128,)),
-        ("int8", step_int8, qparams, (512, 1024)),
+    for path, step, w, batch, always in (
+        ("int8", step_int8, qparams, 1024, True),
+        ("bf16", step_bf16, folded, 128, False),
+        ("int8", step_int8, qparams, 512, False),
     ):
-        for batch in batches:
-            try:
-                ips = measure(step, w, batch)
-            except Exception as e:  # OOM at large batch etc.
-                print(f"# {path} b{batch} failed: {e}", file=sys.stderr)
-                continue
-            print(f"# {path} b{batch}: {ips:.0f} img/s", file=sys.stderr)
-            if ips > best:
-                best, best_path, best_batch = ips, path, batch
+        if not always and remaining() < 90:
+            _log(f"skipping {path} b{batch}: insufficient budget")
+            continue
+        try:
+            ips = measure(step, w, batch)
+        except Exception as e:  # OOM at large batch etc.
+            _log(f"{path} b{batch} failed: {e}")
+            continue
+        _log(f"{path} b{batch}: {ips:.0f} img/s")
+        if ips > best:
+            best, best_path, best_batch = ips, path, batch
 
     out = {
         "metric": f"416^2 images/sec/chip (detect+NMS fused, {best_path} PTQ)"
@@ -269,6 +383,9 @@ def main():
         "vs_baseline": round(best / 625.0, 3),
         "batch": best_batch,
         "trained_checkpoint": trained,
+        "epochs_done": epochs_done,
+        "budget_s": BUDGET_S,
+        "elapsed_s": round(elapsed(), 1),
     }
     out.update({k: round(v, 4) for k, v in ap.items()})
     print(json.dumps(out))

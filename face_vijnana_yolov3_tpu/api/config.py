@@ -172,6 +172,12 @@ class FiConf:
     # in-batch FaceNet semi-hard re-selection inside the jitted step.
     negative_mining: str = "random"
     checkpoint_every: int = 0
+    # Triplet-step remat granularity (train/trainer.train_identifier): True =
+    # checkpoint every residual block (lowest HBM), int N = only the first N
+    # trunk segments (late 26²/13² activations are cheap to save — skipping
+    # their recompute buys back forward FLOPs), False = none (fastest when
+    # the 3x-stacked batch fits HBM). Measured sweep in PROFILE.md.
+    train_remat: bool | int = True
     # Same semantics as FdConf.int8_calib_percentile ("auto" = per-channel
     # measured-MSE choice between maxabs and clip candidates).
     int8_calib_percentile: float | str = "auto"

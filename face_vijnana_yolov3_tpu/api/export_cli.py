@@ -16,6 +16,11 @@ Targets:
 
 int8 exports need representative calibration images (--calib glob of JPEGs,
 letterboxed here exactly like the evaluate path letterboxes them).
+
+Serving precision default (when --precision is omitted): int8-auto if --calib
+is given (the headline path — faster AND more accurate than guarded bf16 on
+trained checkpoints), else the guarded-bf16 fallback. --precision float32
+keeps reference-parity arithmetic.
 """
 
 from __future__ import annotations
@@ -53,7 +58,7 @@ def main(argv: list[str] | None = None):
     conf_path = None
     overrides: list[str] = []
     target = out = calib = None
-    precision = "float32"
+    precision: str | None = None
     batch: int | None = None
     platforms = ("tpu", "cpu")
 
@@ -104,6 +109,20 @@ def main(argv: list[str] | None = None):
         raise SystemExit("--target must be detect, embed, or identify")
     if not out:
         raise SystemExit("--out is required")
+
+    if precision is None:
+        # Serving default: int8-auto when calibration data exists — it beats
+        # the guarded-bf16 path on BOTH axes on trained checkpoints (AP50
+        # 0.8445 vs 0.7833, 4262 vs 1969 img/s; STATUS.md defaults table).
+        # Guarded bf16 is the no-calibration-data fallback; pass an explicit
+        # --precision float32 for reference-parity arithmetic.
+        precision = "int8" if calib else "bfloat16"
+        print(
+            f"[fvy-export] no --precision given: defaulting to {precision} "
+            + ("(int8-auto calibrated on --calib images)" if calib else
+               "(guarded bf16 fallback — pass --calib for the faster, "
+               "more accurate int8-auto serving default)")
+        )
 
     conf = load_conf(conf_path)
     apply_overrides(conf, overrides)

@@ -789,11 +789,98 @@ def _parse_cli(argv: list[str]) -> tuple[str | None, list[str]]:
     return conf_path, overrides
 
 
+def legacy_main(argv: list[str]):
+    """Docker-variant argparse surface, flag for flag
+    (reference docker/code/face_detection.py:1135-1155).
+
+    Maps the one-flag-per-hp spelling onto FdConf: `--num_filters` is the
+    head channel count (docker face_detection.py:76), `--step_per_epoch`
+    derives the batch size as n_files // step_per_epoch (the docker
+    TrainingSequence's inverted batching, :608), `--model_loading` is the
+    0/1 int, and the model artifact is the legacy `face_detector.hd5`
+    (docker :42). The docker build's RATIO_TH aspect correction (:415-422)
+    is on, as there. Engaged by `main` whenever `--mode` is passed — the
+    config-JSON surface uses `--conf` + dotted overrides instead.
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mode")
+    parser.add_argument("--raw_data_path")
+    parser.add_argument("--output_file_path")
+    parser.add_argument("--image_size")
+    parser.add_argument("--num_filters")
+    parser.add_argument("--lr")
+    parser.add_argument("--beta_1")
+    parser.add_argument("--beta_2")
+    parser.add_argument("--decay")
+    parser.add_argument("--step_per_epoch")
+    parser.add_argument("--epochs")
+    parser.add_argument("--face_conf_th")
+    parser.add_argument("--nms_iou_th")
+    parser.add_argument("--num_cands")
+    parser.add_argument("--model_loading")
+    args = parser.parse_args(argv)
+    conf = legacy_args_to_conf(args)
+
+    fd = FaceDetectorPipeline(conf)
+    ts = time.time()
+    if conf.mode == "train":
+        fd.train()
+    elif conf.mode == "evaluate":
+        fd.evaluate()
+    elif conf.mode == "test":
+        fd.test()
+    te = time.time()
+    print("Elasped time: {0:f}s".format(te - ts))
+
+
+def legacy_args_to_conf(args) -> FdConf:
+    """Docker argparse namespace → FdConf (see legacy_main)."""
+    conf = FdConf(
+        mode=args.mode,
+        raw_data_path=args.raw_data_path or "",
+        test_path=args.raw_data_path or "",
+        output_file_path=args.output_file_path or "solution_fd.csv",
+        model_path="face_detector.hd5",
+        apply_face_region_ratio=True,
+    )
+    conf.nn_arch.image_size = int(args.image_size)
+    conf.nn_arch.bb_info_c_size = int(args.num_filters)
+    conf.hps.lr = float(args.lr)
+    conf.hps.beta_1 = float(args.beta_1)
+    conf.hps.beta_2 = float(args.beta_2)
+    conf.hps.decay = float(args.decay)
+    conf.hps.step = int(args.step_per_epoch)
+    conf.hps.epochs = int(args.epochs)
+    conf.hps.face_conf_th = float(args.face_conf_th)
+    conf.hps.nms_iou_th = float(args.nms_iou_th)
+    conf.hps.num_cands = int(args.num_cands)
+    # evaluate/test force model_loading=True exactly like the docker main
+    # (docker face_detection.py:1100,:1124 pass True unconditionally).
+    conf.model_loading = (
+        int(args.model_loading) != 0 if conf.mode == "train" else True
+    )
+    if conf.mode == "train" and os.path.exists(
+        os.path.join(conf.raw_data_path, "training.csv")
+    ):
+        # batch_size = n_files // step_per_epoch (docker :608).
+        import pandas as pd
+
+        n_files = pd.read_csv(
+            os.path.join(conf.raw_data_path, "training.csv")
+        )["FILE"].nunique()
+        conf.hps.batch_size = max(1, n_files // max(1, conf.hps.step))
+    return conf
+
+
 def main(argv: list[str] | None = None):
     from face_vijnana_yolov3_tpu.utils.runtime import enable_compile_cache
 
     enable_compile_cache()
     argv = sys.argv[1:] if argv is None else argv
+    if any(a == "--mode" or a.startswith("--mode=") for a in argv):
+        return legacy_main(argv)
     conf_path, overrides = _parse_cli(argv)
     conf = load_conf(conf_path)
     apply_overrides(conf, overrides)

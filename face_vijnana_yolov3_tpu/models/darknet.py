@@ -310,7 +310,7 @@ def apply_graph(
     *,
     train: bool = False,
     compute_dtype=jnp.float32,
-    remat: bool = False,
+    remat: bool | int = False,
     bn_momentum: float | None = None,
     bn_custom_vjp: bool = False,
 ):
@@ -324,14 +324,19 @@ def apply_graph(
     remat=True wraps each residual-block segment in jax.checkpoint: backward-pass
     memory drops from O(all activations) to O(segment boundaries), recomputing
     block interiors — the standard TPU HBM/FLOPs trade for big-batch training
-    (notably the identifier's 3x-stacked triplet batches).
+    (notably the identifier's 3x-stacked triplet batches). An int N
+    checkpoints only the FIRST N segments: the early stride-1..8 segments
+    hold the big (416²..52²) activations where saving is expensive, while the
+    late 26²/13² activations are cheap to keep — skipping their recompute
+    buys back forward FLOPs at little HBM cost (measured sweep in PROFILE.md
+    identifier-training section).
     """
     if remat:
         outputs: dict[str, jnp.ndarray] = {}
         new_state = dict(state)
         h = x
 
-        def make_seg(seg_ops):
+        def make_seg(seg_ops, use_ckpt):
             def seg_fn(h, params, state):
                 outs, st = apply_graph(
                     params, state, h, seg_ops + [("output", "__h")],
@@ -340,11 +345,13 @@ def apply_graph(
                 )
                 return outs["__h"].astype(compute_dtype), st
 
-            return jax.checkpoint(seg_fn)
+            return jax.checkpoint(seg_fn) if use_ckpt else seg_fn
 
-        for seg_ops in remat_segments(ops):
+        segs = remat_segments(ops)
+        n_ckpt = len(segs) if remat is True else int(remat)
+        for i, seg_ops in enumerate(segs):
             core = [op for op in seg_ops if op[0] != "output"]
-            h, st = make_seg(core)(h, params, state)
+            h, st = make_seg(core, i < n_ckpt)(h, params, state)
             # Each segment's returned state contains ALL bnorm keys (the ones
             # outside the segment are stale pass-throughs of the input state);
             # merge only the keys this segment actually updated, or later

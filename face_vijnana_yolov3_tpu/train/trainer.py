@@ -296,6 +296,8 @@ def train_identifier(
     checkpoint_every: int = 0,
     device_data: bool | None = None,
     mining: str = "random",
+    remat: bool | int = True,
+    epoch_times: list | None = None,
 ):
     """Train the triplet embedder; returns (params, state, losses).
 
@@ -309,6 +311,12 @@ def train_identifier(
 
     mining: "random" (default) keeps the reference's uniform-random negative
     exactly as sampled by TripletDataset (face_identification.py:1546).
+    remat: darknet.apply_graph granularity — True checkpoints every residual
+    block (lowest HBM), an int N only the first N segments (the late 26²/13²
+    activations are cheap to save; skipping their recompute buys forward
+    FLOPs back), False none (fastest when the batch fits). Measured sweep in
+    PROFILE.md; FiConf.train_remat plumbs it from config.
+
     "semi_hard" re-selects each anchor's negative INSIDE the jitted step from
     the whole 3B-embedding in-batch pool (FaceNet semi-hard rule:
     d_ap < d_an < d_ap + α, deterministic closest-such; falls back to the
@@ -354,7 +362,7 @@ def train_identifier(
             # remat: triplet batches stack 3x images through the 40M-param
             # trunk — checkpointing residual blocks keeps HBM flat.
             out, new_state = model.triplet_forward(
-                prm, state, a, p, n, train=True, remat=True,
+                prm, state, a, p, n, train=True, remat=remat,
                 compute_dtype=dtype,
             )
             d = model.dense1_dim
@@ -468,17 +476,20 @@ def train_identifier(
         )
 
     for epoch in range(int(hps["epochs"])):
+        t0 = time.time()
         if device_data:
             params, state, opt_state, ep_losses = jit_epoch(
                 params, state, opt_state, *dev
             )
-            losses.extend(np.asarray(ep_losses))
+            losses.extend(np.asarray(ep_losses))  # np. forces a d2h sync
         else:
             for feeds in prefetch_batches(make_batch, steps):
                 params, state, opt_state, loss = jit_step(
                     params, state, opt_state, *feeds
                 )
                 losses.append(loss)
+        if epoch_times is not None:
+            epoch_times.append(time.time() - t0)
         print(f"identifier epoch {epoch + 1}: loss {float(losses[-1]):.6f}")
         if (checkpoint_every and checkpoint_path
                 and (epoch + 1) % checkpoint_every == 0

@@ -75,3 +75,54 @@ def test_tpu_compiler_options_env_and_backend(monkeypatch):
     }
     monkeypatch.setenv("FVY_XLA_VMEM_KIB", "0")
     assert runtime.tpu_compiler_options("serving") is None
+
+
+def test_legacy_docker_flag_surface(tmp_path):
+    """Docker-variant argparse flags map onto FdConf flag for flag
+    (reference docker/code/face_detection.py:1135-1155; VERDICT r2 missing #3)."""
+    import argparse
+
+    import pandas as pd
+
+    from face_vijnana_yolov3_tpu.api.face_detection import legacy_args_to_conf
+
+    # 7 unique files -> docker batching n_files // step_per_epoch = 3
+    pd.DataFrame({
+        "FACE_ID": range(7), "FILE": [f"f{i}.jpg" for i in range(7)],
+        "SUBJECT_ID": [1] * 7, "FACE_X": [10] * 7, "FACE_Y": [10] * 7,
+        "FACE_WIDTH": [20] * 7, "FACE_HEIGHT": [20] * 7,
+    }).to_csv(tmp_path / "training.csv", index=False)
+
+    args = argparse.Namespace(
+        mode="train", raw_data_path=str(tmp_path), output_file_path=None,
+        image_size="416", num_filters="6", lr="0.001", beta_1="0.99",
+        beta_2="0.99", decay="0.0", step_per_epoch="2", epochs="12",
+        face_conf_th="0.6", nms_iou_th="0.4", num_cands="60",
+        model_loading="0",
+    )
+    conf = legacy_args_to_conf(args)
+    assert conf.mode == "train" and conf.model_loading is False
+    assert conf.nn_arch.image_size == 416 and conf.nn_arch.bb_info_c_size == 6
+    assert conf.hps.lr == 0.001 and conf.hps.epochs == 12
+    assert conf.hps.face_conf_th == 0.6 and conf.hps.nms_iou_th == 0.4
+    assert conf.hps.batch_size == 7 // 2  # docker face_detection.py:608
+    assert conf.model_path == "face_detector.hd5"  # legacy artifact (:42)
+    assert conf.apply_face_region_ratio is True    # RATIO_TH active (:415-422)
+
+    # evaluate/test force model_loading=True (docker :1100,:1124)
+    args.mode = "evaluate"
+    args.model_loading = "0"
+    conf = legacy_args_to_conf(args)
+    assert conf.model_loading is True
+    assert conf.test_path == str(tmp_path)
+
+
+def test_legacy_main_engaged_by_mode_flag(monkeypatch):
+    """main() routes --mode invocations to the legacy parser."""
+    from face_vijnana_yolov3_tpu.api import face_detection as fd_mod
+
+    seen = {}
+    monkeypatch.setattr(fd_mod, "legacy_main",
+                        lambda argv: seen.setdefault("argv", argv))
+    fd_mod.main(["--mode", "test", "--raw_data_path", "/tmp/x"])
+    assert seen["argv"][0] == "--mode"

@@ -175,6 +175,9 @@ def test_export_cli_detect(tmp_path, monkeypatch):
     assert os.path.exists(out)
     art = load_artifact(str(out))
     assert art.meta["kind"] == "face_detect"
+    # serving default with no --precision and no --calib: guarded bf16
+    # (int8-auto is the headline default when calibration data is given)
+    assert art.meta["precision"] == "bfloat16"
     cands, counts = art(_rand_images(1, seed=7))
     assert np.asarray(cands).shape[0] == 1 and np.asarray(counts).shape == (1,)
 

@@ -296,6 +296,13 @@ def test_remat_matches_plain_forward_and_grad():
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+    # int granularity (first-N-segments only, FiConf.train_remat) is the
+    # same function: gradients must match the full-remat path too.
+    l2, g2 = jax.value_and_grad(lambda p: loss(p, 1))(params)
+    assert float(l2) == pytest.approx(float(l0), rel=1e-6)
+    for a, b in zip(flat0, jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
 
 
 def test_remat_updates_bn_state_for_all_segments():

@@ -1,0 +1,89 @@
+"""Multi-host DP proof at 2 real processes (VERDICT r2 #3; COMPONENTS.md P3).
+
+dryrun_multichip validates sharding semantics on one process with 8 virtual
+devices; this test backs the stronger multi-HOST claim: two OS processes
+(4 virtual CPU devices each) joined by `jax.distributed.initialize` over a
+local TCP coordinator run one detector DP train step whose loss reduction and
+gradient all-reduce cross the process boundary, and the result must match
+the single-process 8-device run of the same function
+(scripts/multiproc_worker.py). Skips gracefully where sockets or the
+distributed runtime are unavailable.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "scripts", "multiproc_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _parse_result(stdout: str):
+    m = re.search(r"^RESULT (\S+) (\S+)$", stdout, re.M)
+    assert m, f"no RESULT line in worker output:\n{stdout}"
+    return float(m.group(1)), float(m.group(2))
+
+
+def test_two_process_dp_step_matches_single_process():
+    try:
+        port = _free_port()
+    except OSError:
+        pytest.skip("no local sockets available")
+
+    env = dict(os.environ)
+    # Workers set their own 4-device XLA flag; the parent's 8-device conftest
+    # flag must not leak through.
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append((p.returncode, out))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed workers timed out (no usable loopback "
+                    "collectives in this environment)")
+
+    for rc, out in outs:
+        if rc != 0 and ("distributed" in out or "initialize" in out
+                        or "UNAVAILABLE" in out):
+            pytest.skip(f"jax.distributed unavailable here:\n{out[-500:]}")
+        assert rc == 0, f"worker failed:\n{out}"
+
+    results = [_parse_result(out) for _, out in outs]
+    # Both processes hold the replicated result of the SAME global program.
+    assert results[0] == pytest.approx(results[1], rel=1e-6)
+
+    # Single-process 8-device reference, same function, parent's own mesh.
+    from face_vijnana_yolov3_tpu.parallel import make_mesh
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from multiproc_worker import dp_step_result
+
+    ref_loss, ref_checksum = dp_step_result(make_mesh(8))
+    loss, checksum = results[0]
+    # f32 sums reduced over a different device/process topology: bitwise
+    # equality is not guaranteed, agreement to ~1e-5 rel is.
+    assert loss == pytest.approx(ref_loss, rel=1e-5)
+    assert checksum == pytest.approx(ref_checksum, rel=1e-5)
