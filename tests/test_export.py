@@ -187,3 +187,56 @@ def test_export_cli_rejects_bad_target(tmp_path):
 
     with pytest.raises(SystemExit, match="--target"):
         export_cli.main(["--target", "bogus", "--out", str(tmp_path / "x")])
+
+
+def test_artifact_loads_in_fresh_process_without_axon(tmp_path):
+    """Deploy-host story (VERDICT r2 #8): a .fvyx artifact must load and run
+    on a FRESH python process with plain CPU jax — no axon TPU plugin on the
+    path, no framework package imports on the serving host beyond
+    core/export.py's loader. Also reports cold-load and first-call latency
+    (the numbers STATUS.md's export section quotes come from
+    scripts/probe_export_latency.py on the real chip)."""
+    import subprocess
+    import sys
+
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.core.export import export_detector
+
+    fd = FaceDetectorPipeline(_fd_conf().fd_conf, precision="float32")
+    path = str(tmp_path / "fresh.fvyx")
+    export_detector(fd, path, platforms=("cpu",))
+    imgs = _rand_images(2)
+    ref_cands, ref_counts = load_artifact(path)(imgs)
+    np.save(tmp_path / "imgs.npy", imgs)
+    np.save(tmp_path / "ref_cands.npy", np.asarray(ref_cands))
+    np.save(tmp_path / "ref_counts.npy", np.asarray(ref_counts))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()}
+    # Strip the axon plugin: the serving host only has jax + the repo.
+    env["PYTHONPATH"] = repo
+    env.pop("JAX_PLATFORMS", None)
+    script = f"""
+import time
+t0 = time.perf_counter()
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from face_vijnana_yolov3_tpu.core.export import load_artifact
+art = load_artifact({path!r})
+t_load = time.perf_counter() - t0
+imgs = np.load({str(tmp_path / 'imgs.npy')!r})
+t1 = time.perf_counter()
+cands, counts = art(imgs)
+np.asarray(counts)
+t_first = time.perf_counter() - t1
+assert np.array_equal(np.asarray(cands), np.load({str(tmp_path / 'ref_cands.npy')!r}))
+assert np.array_equal(np.asarray(counts), np.load({str(tmp_path / 'ref_counts.npy')!r}))
+print(f"FRESH_OK load={{t_load:.2f}}s first_call={{t_first:.2f}}s")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True,
+        text=True, timeout=600,
+    )
+    assert out.returncode == 0, f"fresh-process load failed:\n{out.stderr}"
+    assert "FRESH_OK" in out.stdout, out.stdout
