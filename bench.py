@@ -138,7 +138,9 @@ def ensure_trained_checkpoint():
             - npz_cost
         n_epochs = min(EPOCH_CHUNK, TRAIN_EPOCHS - meta["epochs_done"],
                        int(avail / spe) if avail > 0 else 0)
-        if n_epochs < 5:
+        # min-5 guard stops uselessly tiny chunks, but must not strand the
+        # cache when <5 epochs REMAIN to the target.
+        if n_epochs < min(5, TRAIN_EPOCHS - meta["epochs_done"]):
             _log(f"skipping training chunk: budget fits {n_epochs} epochs "
                  f"(epochs_done={meta['epochs_done']})")
         else:
