@@ -307,7 +307,15 @@ def main():
     model = FaceDetectorModel()
     folded = jax.device_put(model.fold(params, state))
     cfg = FacePostprocessConfig()
-    qparams = jax.device_put(model.quantize(folded, x_calib))
+    # Self-checking calibration, same as the serving default
+    # (FdConf.int8_tail_auto): escalates the bf16 tail only when the int8
+    # head diverges from the f32 head on the calibration batch.
+    from face_vijnana_yolov3_tpu.models.quant import quantize_autotail
+
+    qparams, int8_tail, int8_nrmse = quantize_autotail(model, folded, x_calib)
+    qparams = jax.device_put(qparams)
+    _log(f"int8 calibration self-check: NRMSE {int8_nrmse:.4f}, "
+         f"bf16 tail {int8_tail}")
 
     def step_bf16(w, images):
         # f32_front_blocks=2 matches FdConf.bf16_f32_front (the bf16 path's
@@ -388,6 +396,8 @@ def main():
         "epochs_done": epochs_done,
         "budget_s": BUDGET_S,
         "elapsed_s": round(elapsed(), 1),
+        "int8_tail": int8_tail,
+        "int8_calib_nrmse": round(int8_nrmse, 4),
     }
     out.update({k: round(v, 4) for k, v in ap.items()})
     print(json.dumps(out))

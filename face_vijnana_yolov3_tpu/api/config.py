@@ -85,6 +85,15 @@ class FdConf:
     # int8 serving path (0 = full int8). Trained checkpoints' late-layer
     # outliers are the int8 AP gap (models/quant.py bf16_tail_blocks).
     int8_bf16_tail: int = 0
+    # Calibration SELF-CHECK (models/quant.quantize_autotail, default on):
+    # when int8_bf16_tail is 0 and no QAT, verify the freshly calibrated
+    # int8 program against the folded-f32 head on the calibration batch and
+    # escalate the bf16 tail (0→2→4) only if the relative head error
+    # exceeds the threshold. int8 PTQ is checkpoint-dependent — the same
+    # auto calibration measured AP50 drift -0.02 on one bench checkpoint
+    # and -0.34 on another; a silent collapse is worse than the tail's ~9%
+    # throughput tax. Costs one extra forward on healthy checkpoints.
+    int8_tail_auto: bool = True
     # bf16 serving: run the first N trunk segments (1 = conv_0/1, 2 = + first
     # residual block) in f32. Trained checkpoints amplify bf16 input rounding
     # in exactly those layers on rare images (degenerate ~1.0-score boxes,
@@ -172,12 +181,14 @@ class FiConf:
     # in-batch FaceNet semi-hard re-selection inside the jitted step.
     negative_mining: str = "random"
     checkpoint_every: int = 0
-    # Triplet-step remat granularity (train/trainer.train_identifier): True =
-    # checkpoint every residual block (lowest HBM), int N = only the first N
-    # trunk segments (late 26²/13² activations are cheap to save — skipping
-    # their recompute buys back forward FLOPs), False = none (fastest when
-    # the 3x-stacked batch fits HBM). Measured sweep in PROFILE.md.
-    train_remat: bool | int = True
+    # Triplet-step remat granularity (train/trainer.train_identifier): False
+    # = no rematerialization (the default — fastest), int N = checkpoint only
+    # the first N trunk segments, True = every residual block (lowest HBM).
+    # Measured on one v5e at 416² bf16 (PROFILE.md identifier section): the
+    # 3x-stacked batch fits HBM without remat through b64 (192 images) and
+    # remat-off wins ~24% (b32: 207 vs 167 triplets/s). Set True (or N) only
+    # if a larger batch/resolution OOMs.
+    train_remat: bool | int = False
     # Same semantics as FdConf.int8_calib_percentile ("auto" = per-channel
     # measured-MSE choice between maxabs and clip candidates).
     int8_calib_percentile: float | str = "auto"

@@ -110,6 +110,7 @@ def main(argv: list[str] | None = None):
     if not out:
         raise SystemExit("--out is required")
 
+    auto_precision = precision is None
     if precision is None:
         # Serving default: int8-auto when calibration data exists — it beats
         # the guarded-bf16 path on BOTH axes on trained checkpoints (AP50
@@ -139,6 +140,29 @@ def main(argv: list[str] | None = None):
             if calib is None:
                 raise SystemExit("--precision int8 requires --calib")
             fd.calibrate_int8(_load_calib(calib, fd.image_size))
+            # Calibration self-check verdict (quantize_autotail): int8 PTQ
+            # damage can sit in blocks no bf16 tail covers (an epoch-3xx
+            # bench artifact collapsed to AP50 0.0 at EVERY tail depth —
+            # PROFILE.md). When even the deepest tail leaves the int8 head
+            # far from the f32 head, exporting it would ship a silently
+            # broken model: fall back to the guarded-bf16 serving path.
+            nrmse = getattr(fd, "int8_calib_nrmse", 0.0)
+            if nrmse > 0.08:
+                msg = (
+                    f"int8 calibration self-check FAILED (head NRMSE "
+                    f"{nrmse:.3f} at bf16 tail "
+                    f"{getattr(fd, 'int8_tail_chosen', 0)}) — this "
+                    "checkpoint does not serve accurately in int8"
+                )
+                if auto_precision:
+                    print(f"[fvy-export] {msg}; falling back to guarded "
+                          "bf16")
+                    precision = "bfloat16"
+                    fd = FaceDetectorPipeline(
+                        conf.fd_conf, precision="bfloat16")
+                else:
+                    print(f"[fvy-export] WARNING: {msg}; exporting the "
+                          "explicitly requested int8 anyway")
         header = fvy_export.export_detector(
             fd, out, batch=batch, platforms=platforms
         )

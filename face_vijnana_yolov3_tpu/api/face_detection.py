@@ -35,6 +35,21 @@ from face_vijnana_yolov3_tpu.utils.runtime import tpu_compiler_options
 DEBUG = True
 
 
+def _stage_bucket() -> int:
+    """Staging-dim rounding granularity for the fused device-letterbox path.
+
+    The jitted program is keyed on the staging shape, so staged H/W round up
+    to multiples of this bucket to bound program count on mixed-resolution
+    sets. Default 128 = at most a handful of programs for any realistic mix;
+    FVY_STAGE_BUCKET=16 cuts the zero-pad upload waste (720p scaled 3/8
+    stages at 270x480 -> 384x512 under 128 = 1.5x the bytes; 272x480 under
+    16 = 1.01x) at the cost of one compile (~60-90 s on the tunneled chip)
+    per distinct rounded source size — the right trade for uniform streams
+    (one camera, one dataset), the wrong one for grab-bag image dirs.
+    """
+    return int(os.environ.get("FVY_STAGE_BUCKET", "128"))
+
+
 class FaceDetectorPipeline:
     """Detector lifecycle: build/load params, batched detect, modes."""
 
@@ -190,11 +205,33 @@ class FaceDetectorPipeline:
                 lr=getattr(self.conf, "int8_qat_lr", 1e-5),
                 tail_blocks=getattr(self.conf, "int8_qat_tail", 4),
             )
+        tail_cfg = getattr(self.conf, "int8_bf16_tail", 0)
+        if (not qat_steps and not tail_cfg
+                and getattr(self.conf, "int8_tail_auto", True)):
+            # Self-checking calibration: escalate the bf16 tail only when
+            # the int8 head demonstrably diverges from the folded-f32 head
+            # on the calibration batch (quantize_autotail docstring).
+            from face_vijnana_yolov3_tpu.models import quant
+
+            q, tail, err = quant.quantize_autotail(
+                self.model, folded, x_calib,
+                percentile=percentile,
+                bias_correct=bool(
+                    getattr(self.conf, "int8_bias_correct", False)),
+            )
+            self._qparams = jax.device_put(q)
+            self.int8_tail_chosen = tail
+            self.int8_calib_nrmse = err
+            if tail:
+                print(f"[calibrate_int8] self-check NRMSE {err:.4f} over "
+                      f"threshold — serving with bf16 tail {tail}")
+            self._invalidate_jits()
+            return
         self._qparams = jax.device_put(
             self.model.quantize(
                 folded, x_calib,
                 percentile=percentile,
-                bf16_tail_blocks=getattr(self.conf, "int8_bf16_tail", 0),
+                bf16_tail_blocks=tail_cfg,
                 act_scales=act_scales,
                 # off after QAT: the refined kernels were trained against the
                 # uncorrected biases (models/quant.quantize_folded docstring)
@@ -202,6 +239,7 @@ class FaceDetectorPipeline:
                     getattr(self.conf, "int8_bias_correct", False)),
             )
         )
+        self.int8_tail_chosen = tail_cfg
         self._invalidate_jits()
 
     def _invalidate_jits(self):
@@ -402,8 +440,9 @@ class FaceDetectorPipeline:
             empty = (np.zeros((0, self.hps["num_cands"], 6), np.float32),
                      np.zeros((0,), np.int32))
             return empty + (None,) if return_staged else empty
-        bucket_h = -(-staged.shape[1] // 128) * 128
-        bucket_w = -(-staged.shape[2] // 128) * 128
+        bucket = _stage_bucket()
+        bucket_h = -(-staged.shape[1] // bucket) * bucket
+        bucket_w = -(-staged.shape[2] // bucket) * bucket
         pad_b = max(pad_batch_to or 0, n_real)
         if (bucket_h, bucket_w) != staged.shape[1:3] or pad_b != n_real:
             padded = np.zeros(
@@ -540,6 +579,28 @@ class FaceDetectorPipeline:
             for s in range(0, len(file_names), batch_size)
         ]
 
+        def stage_upload(staged_u8):
+            """Pre-pad a FULL chunk to the bucketed program shape and start
+            its h2d here on the prefetch thread: jax.device_put is async, so
+            the transfer overlaps both the next chunk's decode and the
+            device's current detect — the consumer-side detect_batch_fused
+            sees the already-bucketed device array and skips its own pad +
+            upload. Short (last) chunks stay on the host: their padded shape
+            is built by detect_batch_fused's pad_batch_to path."""
+            n = staged_u8.shape[0]
+            if n != batch_size:
+                return staged_u8
+            bucket = _stage_bucket()
+            bh = -(-staged_u8.shape[1] // bucket) * bucket
+            bw = -(-staged_u8.shape[2] // bucket) * bucket
+            if (bh, bw) != staged_u8.shape[1:3]:
+                padded = np.zeros((n, bh, bw, 3), staged_u8.dtype)
+                padded[:, : staged_u8.shape[1], : staged_u8.shape[2]] = (
+                    staged_u8
+                )
+                staged_u8 = padded
+            return jax.device_put(staged_u8)
+
         def load_chunk(i):
             """Host side of one batch (decode + stage/letterbox) — runs on the
             prefetch thread so JPEG decode overlaps device compute."""
@@ -558,8 +619,8 @@ class FaceDetectorPipeline:
                     letterbox_geometry(int(d[0]), int(d[1]), self.image_size)
                     for d in orig_dims
                 ]
-                return ("staged_scaled", (staged_u8, dec_dims), geoms,
-                        originals)
+                return ("staged_scaled", (stage_upload(staged_u8), dec_dims),
+                        geoms, originals)
             if native is not None:
                 staged_u8, dims = native.decode_batch_staged(chunk)
                 originals = [
@@ -573,7 +634,7 @@ class FaceDetectorPipeline:
                 # raw uint8 straight to the device: the /255 normalize fuses
                 # into the on-device letterbox, and the host->device transfer
                 # is 4x smaller than a f32 batch.
-                return ("staged", staged_u8, geoms, originals)
+                return ("staged", stage_upload(staged_u8), geoms, originals)
             originals = [imread(fn) for fn in chunk]
             geoms = [
                 letterbox_geometry(im.shape[0], im.shape[1], self.image_size)

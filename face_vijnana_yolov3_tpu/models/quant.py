@@ -543,3 +543,61 @@ def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = Tru
         else:
             raise ValueError(f"unknown op {op}")
     return outputs
+
+
+def quantize_autotail(
+    model,
+    folded,
+    x_calib,
+    *,
+    percentile: float | str | None = None,
+    bias_correct: bool = False,
+    tails: tuple = (0, 2, 4, 8),
+    rel_threshold: float = 0.08,
+    improve_factor: float = 0.7,
+):
+    """Calibration SELF-CHECK with automatic bf16-tail escalation.
+
+    int8 PTQ accuracy is checkpoint-dependent in a way no fixed recipe
+    survives: measured across this repo's bench checkpoints, the same
+    "auto" per-channel calibration scored AP50 drift -0.02 at one epoch
+    count and -0.34 at another (STATUS r3; the round-2 equivalents were
+    maxabs-vs-p99.99 flips). A silent collapse is worse than a 9%
+    throughput tax, so the serving path verifies its own calibration:
+    quantize, run the CALIBRATION batch through the int8 program, and
+    compare the head against the folded-f32 head (label-free, ~1 extra
+    forward per candidate). If the relative error exceeds `rel_threshold`,
+    escalate the bf16 tail through `tails` (models/quant.quantize_folded
+    bf16_tail_blocks — late residual blocks carry the outliers), keeping a
+    larger tail only when it actually improves the error by
+    `improve_factor` or better. The candidate list reaches 8 because the
+    damage site moves: round 2's artifact recovered at tail2, while the
+    round-3 400-epoch checkpoint needed tail8 (tails 1-4 were flat at AP50
+    ~0.74 and tail8 jumped to 0.8628 ≥ f32 — the outliers sat in stage-4's
+    late blocks, not stage-5; probe_precision_ap tables in STATUS.md).
+
+    Returns (qparams, tail_blocks, nrmse). Fast path (healthy checkpoint):
+    one quantize + one extra forward, tail 0.
+    """
+    import numpy as np
+
+    ref = np.asarray(
+        model.apply_folded(folded, x_calib, compute_dtype=jnp.float32)
+    )
+    denom = float(np.sqrt(np.mean(ref.astype(np.float64) ** 2))) + 1e-12
+
+    best = None
+    for tail in tails:
+        q = model.quantize(
+            folded, x_calib, percentile=percentile,
+            bf16_tail_blocks=tail, bias_correct=bias_correct,
+        )
+        head = np.asarray(model.apply_quant(q, x_calib))
+        err = float(
+            np.sqrt(np.mean((head.astype(np.float64) - ref) ** 2))
+        ) / denom
+        if best is None or err < best[2] * improve_factor:
+            best = (q, tail, err)
+        if best[2] <= rel_threshold:
+            break
+    return best

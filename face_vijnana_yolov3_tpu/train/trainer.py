@@ -296,7 +296,7 @@ def train_identifier(
     checkpoint_every: int = 0,
     device_data: bool | None = None,
     mining: str = "random",
-    remat: bool | int = True,
+    remat: bool | int = False,
     epoch_times: list | None = None,
 ):
     """Train the triplet embedder; returns (params, state, losses).
@@ -311,11 +311,12 @@ def train_identifier(
 
     mining: "random" (default) keeps the reference's uniform-random negative
     exactly as sampled by TripletDataset (face_identification.py:1546).
-    remat: darknet.apply_graph granularity — True checkpoints every residual
-    block (lowest HBM), an int N only the first N segments (the late 26²/13²
-    activations are cheap to save; skipping their recompute buys forward
-    FLOPs back), False none (fastest when the batch fits). Measured sweep in
-    PROFILE.md; FiConf.train_remat plumbs it from config.
+    remat: darknet.apply_graph granularity — False (default) none: the
+    3x-stacked 416² batch fits v5e HBM without remat through b64 and runs
+    ~24% faster than per-block checkpointing (measured sweep, PROFILE.md
+    identifier section). An int N checkpoints only the first N segments,
+    True every residual block (lowest HBM — for batches/resolutions that
+    OOM). FiConf.train_remat plumbs it from config.
 
     "semi_hard" re-selects each anchor's negative INSIDE the jitted step from
     the whole 3B-embedding in-batch pool (FaceNet semi-hard rule:

@@ -17,6 +17,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("FVY_DEVICE_LETTERBOX", "1")
+# uniform 720p stream: tight staging buckets cut the zero-pad upload waste
+# (api/face_detection._stage_bucket)
+os.environ.setdefault("FVY_STAGE_BUCKET", "16")
 
 from face_vijnana_yolov3_tpu.utils.runtime import enable_compile_cache
 

@@ -76,7 +76,9 @@ def main():
     if quick:
         configs = configs[:1]
 
-    n_steps = 6  # one epoch = one donated scan of n_steps on-device batches
+    n_steps = 4  # one epoch = one donated scan of n_steps on-device batches
+    # (small: each config re-uploads b*n_steps*3 images over the ~5 MB/s
+    # tunnel — n_steps only has to amortize the scan's per-epoch dispatch)
     n_epochs = 4
     print(f"backend={jax.default_backend()}  devices={jax.devices()}")
     print(f"{'batch':>5} {'remat':>8} {'s/epoch':>9} {'triplets/s':>11} "

@@ -59,8 +59,8 @@ def main():
             + [("bfloat16", 99.99, 0, f, "int8", False) for f in (1, 2)]
             + [("int8", p, 0, 0, "f32", bc) for p, bc in pcts]
             # mixed bf16 tail (models/quant.py bf16_tail_blocks) at the
-            # default percentile
-            + [("int8", 99.99, t, 0, "f32", False) for t in (1, 2, 4)])
+            # shipped default calibration ("auto")
+            + [("int8", "auto", t, 0, "f32", False) for t in (1, 2, 4, 8)])
     for precision, pct, tail, front, front_mode, bc in rows:
         tag = precision if not pct else f"{precision}-p{pct}"
         if bc:
@@ -85,6 +85,9 @@ def main():
         conf.int8_calib_percentile = pct
         conf.int8_bias_correct = bc
         conf.int8_bf16_tail = tail
+        # Rows probe EXPLICIT configs; the self-checking escalation
+        # (int8_tail_auto) would silently change what a tail-0 row measures.
+        conf.int8_tail_auto = False
         conf.bf16_f32_front = front
         conf.bf16_front_mode = front_mode
         fd = FaceDetectorPipeline(conf, precision=precision)

@@ -240,3 +240,53 @@ print(f"FRESH_OK load={{t_load:.2f}}s first_call={{t_first:.2f}}s")
     )
     assert out.returncode == 0, f"fresh-process load failed:\n{out.stderr}"
     assert "FRESH_OK" in out.stdout, out.stdout
+
+
+def test_export_cli_int8_selfcheck_fallback(tmp_path, monkeypatch):
+    """Auto-picked int8 falls back to guarded bf16 when the calibration
+    self-check fails (int8 damage no bf16 tail covers — PROFILE.md r3);
+    an EXPLICIT --precision int8 is honored with a warning."""
+    from face_vijnana_yolov3_tpu.api import export_cli
+    from face_vijnana_yolov3_tpu.api.config import conf_to_dict
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+
+    orig_calibrate = FaceDetectorPipeline.calibrate_int8
+
+    def bad_calibrate(self, images, percentile=None):
+        # real calibration, then simulate a checkpoint whose int8 head
+        # never approaches f32 at any tail depth
+        orig_calibrate(self, images, percentile=percentile)
+        self.int8_calib_nrmse = 0.5
+        self.int8_tail_chosen = 8
+
+    monkeypatch.setattr(FaceDetectorPipeline, "calibrate_int8",
+                        bad_calibrate, raising=True)
+
+    conf_path = tmp_path / "conf.json"
+    conf_path.write_text(json.dumps(conf_to_dict(_fd_conf())))
+    import numpy as np
+    from PIL import Image
+
+    for i in range(3):
+        Image.fromarray(
+            (np.random.default_rng(i).random((64, 64, 3)) * 255).astype(
+                np.uint8)
+        ).save(tmp_path / f"c{i}.jpg")
+
+    out = tmp_path / "auto.fvyx"
+    export_cli.main([
+        "--conf", str(conf_path), "--target", "detect", "--out", str(out),
+        "--calib", str(tmp_path / "*.jpg"), "--batch", "1",
+        "--platforms", "cpu",
+    ])
+    art = load_artifact(str(out))
+    assert art.meta["precision"] == "bfloat16"  # fell back
+
+    out2 = tmp_path / "explicit.fvyx"
+    export_cli.main([
+        "--conf", str(conf_path), "--target", "detect", "--out", str(out2),
+        "--precision", "int8", "--calib", str(tmp_path / "*.jpg"),
+        "--batch", "1", "--platforms", "cpu",
+    ])
+    art2 = load_artifact(str(out2))
+    assert art2.meta["precision"] == "int8"  # honored despite the warning

@@ -469,3 +469,45 @@ def test_pipeline_bias_correct_plumbing(tmp_path):
     for k in ks:
         np.testing.assert_array_equal(q_bc[k]["kernel_q"],
                                       q_plain[k]["kernel_q"])
+
+
+def test_quantize_autotail_selection_logic():
+    """Self-checking calibration (models/quant.quantize_autotail): healthy
+    checkpoints stay full-int8 after ONE check; collapsed ones escalate the
+    bf16 tail, but only while escalation actually helps."""
+    import numpy as np
+
+    from face_vijnana_yolov3_tpu.models.quant import quantize_autotail
+
+    class FakeModel:
+        def __init__(self, errs):
+            self.errs = errs
+            self.quantize_calls = []
+
+        def apply_folded(self, folded, x, compute_dtype=None):
+            return np.ones((2, 4), np.float32)
+
+        def quantize(self, folded, x, percentile=None, bf16_tail_blocks=0,
+                     bias_correct=False):
+            self.quantize_calls.append(bf16_tail_blocks)
+            return {"tail": bf16_tail_blocks}
+
+        def apply_quant(self, q, x):
+            return np.ones((2, 4), np.float32) + self.errs[q["tail"]]
+
+    # Healthy: error under threshold -> full int8, single candidate tried.
+    m = FakeModel({0: 0.01})
+    q, tail, err = quantize_autotail(m, None, None)
+    assert tail == 0 and m.quantize_calls == [0]
+    assert err == pytest.approx(0.01, rel=1e-3)
+
+    # Collapsed full-int8, tail recovers: escalates to the first tail under
+    # threshold.
+    m = FakeModel({0: 0.5, 2: 0.3, 4: 0.05})
+    q, tail, err = quantize_autotail(m, None, None)
+    assert tail == 4 and err == pytest.approx(0.05, rel=1e-3)
+
+    # Nothing helps enough: keeps full int8 (no pointless tail tax).
+    m = FakeModel({0: 0.5, 2: 0.45, 4: 0.48})
+    q, tail, err = quantize_autotail(m, None, None)
+    assert tail == 0 and err == pytest.approx(0.5, rel=1e-3)
