@@ -310,11 +310,15 @@ def main():
     # Self-checking calibration, same as the serving default
     # (FdConf.int8_tail_auto): escalates the bf16 tail only when the int8
     # head diverges from the f32 head on the calibration batch.
-    from face_vijnana_yolov3_tpu.models.quant import quantize_autotail
+    from face_vijnana_yolov3_tpu.models.quant import (
+        detection_box_f1_scorer,
+        quantize_autotail,
+    )
 
-    qparams, int8_tail, int8_nrmse = quantize_autotail(model, folded, x_calib)
+    qparams, int8_tail, int8_err = quantize_autotail(
+        model, folded, x_calib, scorer=detection_box_f1_scorer(cfg))
     qparams = jax.device_put(qparams)
-    _log(f"int8 calibration self-check: NRMSE {int8_nrmse:.4f}, "
+    _log(f"int8 calibration self-check: 1-boxF1 {int8_err:.4f}, "
          f"bf16 tail {int8_tail}")
 
     def step_bf16(w, images):
@@ -397,7 +401,7 @@ def main():
         "budget_s": BUDGET_S,
         "elapsed_s": round(elapsed(), 1),
         "int8_tail": int8_tail,
-        "int8_calib_nrmse": round(int8_nrmse, 4),
+        "int8_calib_err": round(int8_err, 4),
     }
     out.update({k: round(v, 4) for k, v in ap.items()})
     print(json.dumps(out))

@@ -146,11 +146,11 @@ def main(argv: list[str] | None = None):
             # PROFILE.md). When even the deepest tail leaves the int8 head
             # far from the f32 head, exporting it would ship a silently
             # broken model: fall back to the guarded-bf16 serving path.
-            nrmse = getattr(fd, "int8_calib_nrmse", 0.0)
-            if nrmse > 0.08:
+            err = getattr(fd, "int8_calib_err", 0.0)
+            if err > 0.08:
                 msg = (
-                    f"int8 calibration self-check FAILED (head NRMSE "
-                    f"{nrmse:.3f} at bf16 tail "
+                    f"int8 calibration self-check FAILED (1-boxF1 "
+                    f"{err:.3f} at bf16 tail "
                     f"{getattr(fd, 'int8_tail_chosen', 0)}) — this "
                     "checkpoint does not serve accurately in int8"
                 )

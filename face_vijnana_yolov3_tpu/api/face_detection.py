@@ -218,12 +218,16 @@ class FaceDetectorPipeline:
                 percentile=percentile,
                 bias_correct=bool(
                     getattr(self.conf, "int8_bias_correct", False)),
+                # detection-level verdict (1 − box F1 through the real
+                # postprocess): raw head NRMSE misjudges tail configs whose
+                # residual error sits at cells AP never sees.
+                scorer=quant.detection_box_f1_scorer(self._pp_cfg),
             )
             self._qparams = jax.device_put(q)
             self.int8_tail_chosen = tail
-            self.int8_calib_nrmse = err
+            self.int8_calib_err = err
             if tail:
-                print(f"[calibrate_int8] self-check NRMSE {err:.4f} over "
+                print(f"[calibrate_int8] self-check 1-boxF1 {err:.4f} over "
                       f"threshold — serving with bf16 tail {tail}")
             self._invalidate_jits()
             return

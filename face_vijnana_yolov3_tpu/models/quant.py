@@ -555,6 +555,7 @@ def quantize_autotail(
     tails: tuple = (0, 2, 4, 8),
     rel_threshold: float = 0.08,
     improve_factor: float = 0.7,
+    scorer=None,
 ):
     """Calibration SELF-CHECK with automatic bf16-tail escalation.
 
@@ -576,7 +577,17 @@ def quantize_autotail(
     ~0.74 and tail8 jumped to 0.8628 ≥ f32 — the outliers sat in stage-4's
     late blocks, not stage-5; probe_precision_ap tables in STATUS.md).
 
-    Returns (qparams, tail_blocks, nrmse). Fast path (healthy checkpoint):
+    scorer: optional callable (ref_head_batch, cand_head_batch) -> err in
+    [0, 1]. Default is global head NRMSE, which is a WEAK proxy for task
+    damage: on the round-3 400-epoch checkpoint the tail-8 config recovered
+    AP50 fully (0.8628 ≥ f32) while its head NRMSE barely moved off the
+    collapsed tail-0's 0.20 — the big raw-head errors sit at non-confident
+    cells AP never sees. Serving callers should pass a DETECTION-level
+    scorer (detection_box_f1_scorer below: 1 − box-match F1 through the
+    real postprocess), which is what FaceDetectorPipeline.calibrate_int8
+    and bench.py do.
+
+    Returns (qparams, tail_blocks, err). Fast path (healthy checkpoint):
     one quantize + one extra forward, tail 0.
     """
     import numpy as np
@@ -586,6 +597,14 @@ def quantize_autotail(
     )
     denom = float(np.sqrt(np.mean(ref.astype(np.float64) ** 2))) + 1e-12
 
+    def default_scorer(ref_h, cand_h):
+        return float(
+            np.sqrt(np.mean((np.asarray(cand_h).astype(np.float64)
+                             - ref_h) ** 2))
+        ) / denom
+
+    score = scorer or default_scorer
+
     best = None
     for tail in tails:
         q = model.quantize(
@@ -593,11 +612,58 @@ def quantize_autotail(
             bf16_tail_blocks=tail, bias_correct=bias_correct,
         )
         head = np.asarray(model.apply_quant(q, x_calib))
-        err = float(
-            np.sqrt(np.mean((head.astype(np.float64) - ref) ** 2))
-        ) / denom
+        err = score(ref, head)
         if best is None or err < best[2] * improve_factor:
             best = (q, tail, err)
         if best[2] <= rel_threshold:
             break
     return best
+
+
+def detection_box_f1_scorer(pp_cfg):
+    """quantize_autotail scorer: 1 − box-level F1 through the REAL fused
+    postprocess — the metric the serving path actually ships.
+
+    Runs both heads through ops/postprocess.face_postprocess, greedily
+    matches each image's candidate boxes to the reference boxes at
+    IoU ≥ 0.5, and returns 1 − micro-F1 over the batch. A quantization
+    config only passes when it reproduces the f32 path's DETECTIONS, not
+    merely its raw head tensor (see quantize_autotail docstring for why
+    NRMSE misjudges both directions).
+    """
+    import jax
+    import numpy as np
+
+    from face_vijnana_yolov3_tpu.ops.boxes import pairwise_iou
+    from face_vijnana_yolov3_tpu.ops.postprocess import face_postprocess
+
+    pp = jax.jit(jax.vmap(lambda h: face_postprocess(h, pp_cfg)))
+
+    def boxes_of(head):
+        cands, counts = pp(jnp.asarray(head, jnp.float32))
+        return np.asarray(cands), np.asarray(counts)
+
+    def scorer(ref_head, cand_head):
+        rc, rn = boxes_of(ref_head)
+        cc, cn = boxes_of(cand_head)
+        matched = 0
+        total_ref = int(rn.sum())
+        total_cand = int(cn.sum())
+        for k in range(rc.shape[0]):
+            r = rc[k, : rn[k], :4]
+            c = cc[k, : cn[k], :4]
+            if not len(r) or not len(c):
+                continue
+            iou = np.array(pairwise_iou(jnp.asarray(r), jnp.asarray(c)))
+            # greedy one-to-one matching, best IoU first
+            while iou.size and iou.max() >= 0.5:
+                i, j = np.unravel_index(np.argmax(iou), iou.shape)
+                matched += 1
+                iou[i, :] = -1.0
+                iou[:, j] = -1.0
+        if total_ref + total_cand == 0:
+            return 0.0
+        f1 = 2.0 * matched / (total_ref + total_cand)
+        return 1.0 - f1
+
+    return scorer

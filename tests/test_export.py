@@ -256,7 +256,7 @@ def test_export_cli_int8_selfcheck_fallback(tmp_path, monkeypatch):
         # real calibration, then simulate a checkpoint whose int8 head
         # never approaches f32 at any tail depth
         orig_calibrate(self, images, percentile=percentile)
-        self.int8_calib_nrmse = 0.5
+        self.int8_calib_err = 0.5
         self.int8_tail_chosen = 8
 
     monkeypatch.setattr(FaceDetectorPipeline, "calibrate_int8",

@@ -496,18 +496,46 @@ def test_quantize_autotail_selection_logic():
             return np.ones((2, 4), np.float32) + self.errs[q["tail"]]
 
     # Healthy: error under threshold -> full int8, single candidate tried.
-    m = FakeModel({0: 0.01})
+    m = FakeModel({0: 0.01, 2: 0.01, 4: 0.01, 8: 0.01})
     q, tail, err = quantize_autotail(m, None, None)
     assert tail == 0 and m.quantize_calls == [0]
     assert err == pytest.approx(0.01, rel=1e-3)
 
     # Collapsed full-int8, tail recovers: escalates to the first tail under
     # threshold.
-    m = FakeModel({0: 0.5, 2: 0.3, 4: 0.05})
+    m = FakeModel({0: 0.5, 2: 0.3, 4: 0.05, 8: 0.05})
     q, tail, err = quantize_autotail(m, None, None)
     assert tail == 4 and err == pytest.approx(0.05, rel=1e-3)
 
     # Nothing helps enough: keeps full int8 (no pointless tail tax).
-    m = FakeModel({0: 0.5, 2: 0.45, 4: 0.48})
+    m = FakeModel({0: 0.5, 2: 0.45, 4: 0.48, 8: 0.47})
     q, tail, err = quantize_autotail(m, None, None)
     assert tail == 0 and err == pytest.approx(0.5, rel=1e-3)
+
+
+def test_detection_box_f1_scorer():
+    """Detection-level self-check metric: identical heads score 0; a head
+    whose confident cells vanish scores 1 (regardless of raw-tensor
+    closeness)."""
+    import numpy as np
+
+    from face_vijnana_yolov3_tpu.models.quant import detection_box_f1_scorer
+    from face_vijnana_yolov3_tpu.ops.postprocess import FacePostprocessConfig
+
+    cfg = FacePostprocessConfig(image_size=416, grid=13, conf_th=0.5,
+                                nms_iou_th=0.5, num_cands=60)
+    scorer = detection_box_f1_scorer(cfg)
+    head = np.full((2, 13, 13, 6), -6.0, np.float32)  # sigmoid ≈ 0: no boxes
+    head[0, 6, 6] = [4.0, 0.5, 0.5, 0.3, 0.3, 4.0]    # one confident cell
+    head[1, 2, 9] = [4.0, 0.5, 0.5, 0.2, 0.2, 4.0]
+    assert scorer(head, head.copy()) == 0.0
+
+    # tiny raw-tensor change, catastrophic detection change: confidence off
+    dead = head.copy()
+    dead[0, 6, 6, 0] = -6.0
+    dead[1, 2, 9, 0] = -6.0
+    assert scorer(head, dead) == 1.0
+
+    # no boxes on either side = agreement, not failure
+    none = np.full((2, 13, 13, 6), -6.0, np.float32)
+    assert scorer(none, none.copy()) == 0.0
