@@ -46,6 +46,13 @@ import sys
 import time
 
 N_ITER = 10
+# Serving-default rule: int8 is the headline only when its calibration
+# self-check (1 - box-F1 vs the f32 head on the calibration batch) passes
+# this bound; otherwise the accuracy-safe guarded-bf16 path is the headline.
+# 0.05 is strict by design: on the round-3 checkpoint a 0.089 check err
+# mapped to anywhere between +0.02 and -0.17 val AP50 drift depending on
+# calibration sample luck — int8 must PROVE itself to lead the line.
+SELFCHECK_THRESHOLD = 0.05
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 # The round-1 recipe that generalizes AND stays precision-robust (AP50 0.80
 # held-out, bf16/int8 at parity). Smaller/shorter runs (256 imgs / 220
@@ -284,7 +291,7 @@ def main():
         from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_host
         from face_vijnana_yolov3_tpu.utils.io import imread
 
-        val_files = sorted(glob.glob(os.path.join(valdir, "*.jpg")))[:8]
+        val_files = sorted(glob.glob(os.path.join(valdir, "*.jpg")))[:32]
         x_calib = jnp.asarray(np.stack([
             letterbox_host(imread(f) / 255.0, 416, "cubic")[0]
             for f in val_files
@@ -334,14 +341,17 @@ def main():
         head = model.apply_quant(w, images)
         return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
 
-    def chained(step, batch):
+    def chained(step, w, batch):
         from functools import partial
 
         from face_vijnana_yolov3_tpu.utils.runtime import tpu_compiler_options
 
+        # w is CLOSED OVER, not a jit argument: mixed-tail qparams carry a
+        # static `tail_start` index that must stay a Python int (as an arg
+        # leaf it would trace and break apply_graph_quant's op slicing).
         @partial(jax.jit,
                  compiler_options=tpu_compiler_options("serving"))
-        def run(w, images):
+        def run(images):
             def body(carry, _):
                 xi = images + (0.0 * carry[0]).astype(images.dtype)
                 cands, counts = step(w, xi)
@@ -358,24 +368,47 @@ def main():
         x = jax.random.uniform(
             jax.random.PRNGKey(0), (batch, 416, 416, 3), jnp.bfloat16
         )
-        run = chained(step, batch)
-        jax.block_until_ready(run(w, x))  # compile
+        run = chained(step, w, batch)
+        jax.block_until_ready(run(x))  # compile
         t0 = time.perf_counter()
-        out = run(w, x)
+        out = run(x)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / N_ITER
         return batch / dt
 
-    # int8 b1024 is the headline serving default (int8-auto calibration,
-    # STATUS.md defaults table) and ALWAYS runs, budget notwithstanding —
-    # this line is the bench's reason to exist. Secondary paths only run
-    # with budget left.
+    # Headline = the fastest path that PASSES the detection-level
+    # calibration self-check (the serving-default rule: int8 only when the
+    # calibration batch proves it reproduces the f32 detections; guarded
+    # bf16 otherwise — STATUS.md defaults table). The first eligible
+    # measurement ALWAYS runs, budget notwithstanding; secondary paths only
+    # run with budget left.
+    out_extra = {}
+    # Eligibility evidence, strongest first: the held-out AP measured on
+    # THIS artifact in this (or a cached) pass — int8 leads only when its
+    # AP50 drift is within 2 points of f32. Without an AP measurement
+    # (random-weights fallback), the label-free calibration self-check
+    # gates instead (the export-path rule).
+    drift = ap.get("int8_ap50_drift")
+    if drift is not None:
+        int8_ok = drift >= -0.02
+        reason = f"measured AP50 drift {drift:+.4f}"
+    else:
+        int8_ok = int8_err <= SELFCHECK_THRESHOLD
+        reason = f"calibration self-check 1-boxF1 {int8_err:.4f}"
+    if not int8_ok:
+        _log(f"int8 ineligible for the headline ({reason}): falling back "
+             "to guarded bf16; int8 throughput still reported")
+    else:
+        _log(f"int8 leads the line ({reason})")
     best, best_path, best_batch = 0.0, "", 0
-    for path, step, w, batch, always in (
-        ("int8", step_int8, qparams, 1024, True),
-        ("bf16", step_bf16, folded, 128, False),
-        ("int8", step_int8, qparams, 512, False),
+    first = True
+    for path, step, w, batch, eligible in (
+        ("int8", step_int8, qparams, 1024, int8_ok),
+        ("bf16", step_bf16, folded, 128, True),
+        ("int8", step_int8, qparams, 512, int8_ok),
     ):
+        always = first and eligible
+        first = first and not always
         if not always and remaining() < 90:
             _log(f"skipping {path} b{batch}: insufficient budget")
             continue
@@ -385,7 +418,8 @@ def main():
             _log(f"{path} b{batch} failed: {e}")
             continue
         _log(f"{path} b{batch}: {ips:.0f} img/s")
-        if ips > best:
+        out_extra[f"{path}_b{batch}_img_s"] = round(ips, 1)
+        if ips > best and eligible:
             best, best_path, best_batch = ips, path, batch
 
     out = {
@@ -402,7 +436,9 @@ def main():
         "elapsed_s": round(elapsed(), 1),
         "int8_tail": int8_tail,
         "int8_calib_err": round(int8_err, 4),
+        "int8_headline_eligible": int8_ok,
     }
+    out.update(out_extra)
     out.update({k: round(v, 4) for k, v in ap.items()})
     print(json.dumps(out))
 

@@ -147,7 +147,7 @@ def main(argv: list[str] | None = None):
             # far from the f32 head, exporting it would ship a silently
             # broken model: fall back to the guarded-bf16 serving path.
             err = getattr(fd, "int8_calib_err", 0.0)
-            if err > 0.08:
+            if err > 0.05:
                 msg = (
                     f"int8 calibration self-check FAILED (1-boxF1 "
                     f"{err:.3f} at bf16 tail "

@@ -157,7 +157,13 @@ class FaceDetectorPipeline:
         if percentile is None:
             percentile = getattr(self.conf, "int8_calib_percentile", 0.0) or None
         folded = self.model.fold(self.params, self.state)
+        # Scale calibration stays at ≤16 images (8-image scales measured
+        # BEST on the round-3 checkpoint; 32-image maxabs catches bigger
+        # grid-stretching outliers and collapsed AP 0.73→0.26). The autotail
+        # self-CHECK below scores on up to 32 — quantize_autotail decouples
+        # the two sample sizes (n_scale_calib).
         x_calib = jnp.asarray(images[:16], jnp.float32)
+        x_check = jnp.asarray(images[:32], jnp.float32)
         if self._hybrid_front:
             # bf16 serving with an int8 front guard (conf.bf16_front_mode —
             # EXPERIMENTAL, measured harmful; see the knob's docstring):
@@ -214,7 +220,7 @@ class FaceDetectorPipeline:
             from face_vijnana_yolov3_tpu.models import quant
 
             q, tail, err = quant.quantize_autotail(
-                self.model, folded, x_calib,
+                self.model, folded, x_check,
                 percentile=percentile,
                 bias_correct=bool(
                     getattr(self.conf, "int8_bias_correct", False)),
@@ -494,7 +500,10 @@ class FaceDetectorPipeline:
 
         if ((self.precision == "int8" or self._hybrid_front)
                 and getattr(self, "_qparams", None) is None):
-            k = min(8, n_real)
+            # 32 images: the box-F1 self-check needs ≥16 to resolve tail
+            # improvements (8-image F1 granularity ~0.05 masked the tail-8
+            # recovery on the round-3 bench checkpoint; PROFILE.md).
+            k = min(32, n_real)
             lb = jax.jit(
                 lambda s, r, c: letterbox_device_matmul(
                     to_unit_f32(s), jnp.broadcast_to(r, (k,) + r.shape[1:]),

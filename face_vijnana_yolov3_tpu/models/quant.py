@@ -553,9 +553,10 @@ def quantize_autotail(
     percentile: float | str | None = None,
     bias_correct: bool = False,
     tails: tuple = (0, 2, 4, 8),
-    rel_threshold: float = 0.08,
+    rel_threshold: float = 0.05,
     improve_factor: float = 0.7,
     scorer=None,
+    n_scale_calib: int = 8,
 ):
     """Calibration SELF-CHECK with automatic bf16-tail escalation.
 
@@ -587,6 +588,15 @@ def quantize_autotail(
     real postprocess), which is what FaceDetectorPipeline.calibrate_int8
     and bench.py do.
 
+    n_scale_calib: SCALE calibration uses only the first n images of
+    x_calib while the self-check scores on ALL of them. The two sample
+    sizes must be decoupled: the box-F1 verdict needs ≥16 images to
+    resolve tail improvements (8-image granularity ~0.05 masked the tail-8
+    recovery), but growing the SCALE sample from 8 to 32 images made this
+    same checkpoint dramatically WORSE (self-check err 0.17 → 0.47, AP50
+    0.73 → 0.26 — more samples feed maxabs bigger grid-stretching
+    outliers). Measured on the round-3 bench checkpoint; PROFILE.md.
+
     Returns (qparams, tail_blocks, err). Fast path (healthy checkpoint):
     one quantize + one extra forward, tail 0.
     """
@@ -605,10 +615,12 @@ def quantize_autotail(
 
     score = scorer or default_scorer
 
+    x_scale = (x_calib[:n_scale_calib]
+               if n_scale_calib and x_calib is not None else x_calib)
     best = None
     for tail in tails:
         q = model.quantize(
-            folded, x_calib, percentile=percentile,
+            folded, x_scale, percentile=percentile,
             bf16_tail_blocks=tail, bias_correct=bias_correct,
         )
         head = np.asarray(model.apply_quant(q, x_calib))
