@@ -33,7 +33,7 @@ import numpy as np
 from face_vijnana_yolov3_tpu.api.config import apply_overrides, load_conf
 
 
-def _load_calib(pattern: str, image_size: int, limit: int = 16) -> np.ndarray:
+def _load_calib(pattern: str, image_size: int, limit: int = 32) -> np.ndarray:
     """Glob JPEGs -> (N,S,S,3) f32 letterboxed batch (reference /255-then-
     resize order, face_detection.py:113)."""
     from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_host

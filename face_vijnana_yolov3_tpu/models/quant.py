@@ -40,6 +40,15 @@ from face_vijnana_yolov3_tpu.models.darknet import LEAKY_ALPHA
 
 # Candidate clip percentiles scored by "auto" calibration (plus exact maxabs).
 AUTO_CALIB_PERCENTILES = (99.99, 99.9)
+# "msegrid" calibration: log-spaced clip-ratio grid searched per channel by
+# measured round-trip MSE, with the pick made on the HOST in f64 (see
+# calibrate_folded_msegrid). Grid floor 0.002 reaches the poisoned
+# residual-stream channels whose bulk sits orders of magnitude under a
+# lone-outlier-stretched maxabs (per-channel spreads 40-260x measured,
+# scripts/probe_int8_collapse.py).
+MSEGRID_CANDIDATES = 96
+MSEGRID_LO = 0.002
+MSEGRID_TOL = 0.05
 # "auto" only clips a channel when the clip candidate's round-trip MSE beats
 # maxabs by this factor. Hairline MSE wins (ratio ~0.99 on clean channels —
 # clipping a sliver off the top shrinks the grid for everything else) trade a
@@ -80,7 +89,14 @@ def calibrate_folded(
     The whole calibration forward is ONE jitted program returning a single
     concatenated vector (per-op host syncs would cost a device round-trip
     each over a tunneled TPU).
+
+    percentile="msegrid" (or "msegrid:<tol>") dispatches to the
+    deterministic grid-search calibrator (calibrate_folded_msegrid).
     """
+    if isinstance(percentile, str) and percentile.startswith("msegrid"):
+        tol = (float(percentile.split(":", 1)[1]) if ":" in percentile
+               else MSEGRID_TOL)
+        return calibrate_folded_msegrid(folded_params, x, ops, tol=tol)
     from face_vijnana_yolov3_tpu.models.darknet import _conv2d
 
     def stat(h):
@@ -146,6 +162,113 @@ def calibrate_folded(
     for c in sizes:
         out.append(np.maximum(flat[off : off + c], 1e-8) / 127.0)
         off += c
+    assert off == flat.size
+    return out
+
+
+def msegrid_ratios(n_cand: int = MSEGRID_CANDIDATES,
+                   lo: float = MSEGRID_LO) -> np.ndarray:
+    """Log-spaced clip-ratio candidates in (lo, 1.0], last entry exactly 1.0
+    (= exact maxabs, the no-clip choice)."""
+    r = np.exp(np.linspace(np.log(lo), 0.0, n_cand))
+    r[-1] = 1.0
+    return r
+
+
+def calibrate_folded_msegrid(
+    folded_params, x, ops: list[tuple], *,
+    n_cand: int = MSEGRID_CANDIDATES, lo: float = MSEGRID_LO,
+    tol: float = MSEGRID_TOL,
+) -> list[np.ndarray]:
+    """DETERMINISTIC per-channel activation calibration: measured-MSE clip
+    search over a log-spaced ratio grid, picked on the host in f64.
+
+    Round-3 root cause hunt (scripts/probe_calib_determinism.py): every
+    stage of the calibration chain is bit-deterministic in-process AND
+    cross-process on this runtime — the real instability of the 2-candidate
+    "auto" scheme was *pick brittleness*, not run-to-run noise: with only
+    {maxabs, p99.99, p99.9} to choose from, a channel whose best grid lies
+    between candidates gets whichever side of the margin its (batch-
+    dependent) MSE ratio lands on, and one wrong pick out of ~30k channels
+    compounds over 52 int8 layers (AP50 swings 0.67/0.84 across nominally
+    equivalent calibration *batches*). This calibrator replaces the cliff
+    with a fine grid plus a stability window:
+
+      * device (one jitted program, deterministic): per-channel maxabs and
+        the int8 round-trip MSE of `n_cand` log-spaced clip ratios
+        (lo..1.0) — the (J,N,C) intermediate fuses into one reduction per
+        candidate, exactly like the "auto" scorer;
+      * host (f64, deterministic): per channel, pick the LARGEST ratio
+        whose MSE is within (1+tol) of the per-channel minimum. Preferring
+        the mildest clip inside the window is the grid-search form of the
+        round-2 margin lesson: hairline MSE wins for clipping trade a
+        systematic truncation of the largest activations for noise-level
+        gain, and that bias compounds over the trunk. Genuinely poisoned
+        channels (bulk crushed by a lone-outlier-stretched grid) win by
+        orders of magnitude and still clip decisively.
+
+    Ties and near-ties resolve identically on every run because the pick is
+    pure f64 host arithmetic over a deterministic device artifact — the
+    scale vectors are bit-identical across processes (probe stage F).
+
+    Returns the calibrate_folded scale layout: len(ops)+1 np (C,) vectors.
+    """
+    from face_vijnana_yolov3_tpu.models.darknet import _conv2d
+
+    ratios_np = msegrid_ratios(n_cand, lo)
+    ratios = jnp.asarray(ratios_np, jnp.float32)
+
+    def stat(h):
+        a = jnp.abs(h).reshape(-1, h.shape[-1])
+        m = jnp.max(a, axis=0)  # (C,) exact; max is order-independent
+        s = (jnp.maximum(m, 1e-8)[None, :] * ratios[:, None]) / 127.0  # (J,C)
+        q = (jnp.clip(jnp.round(a[None] / s[:, None, :]), -127, 127)
+             * s[:, None, :])
+        err = jnp.mean(jnp.square(q - a[None]), axis=1)  # (J, C)
+        return jnp.concatenate([m, err.reshape(-1)])
+
+    def fwd(folded_params, x):
+        stats = [stat(x)]
+        saved: dict[str, jnp.ndarray] = {}
+        h = x.astype(jnp.float32)
+        for op in ops:
+            kind = op[0]
+            if kind == "conv":
+                _, idx, _out_c, k, stride, _bn, leaky = op
+                p = folded_params[f"conv_{idx}"]
+                h = _conv2d(h, p["kernel"], stride, k, jnp.float32) + p["bias"]
+                if leaky:
+                    h = jnp.where(h > 0, h, LEAKY_ALPHA * h)
+            elif kind in ("save", "mark"):
+                saved[op[1]] = h
+            elif kind == "add":
+                h = saved[op[1]] + h
+            elif kind == "restore":
+                h = saved[op[1]]
+            elif kind == "concat":
+                h = jnp.concatenate([h, saved[op[1]]], axis=-1)
+            elif kind == "upsample":
+                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+            elif kind == "output":
+                pass
+            else:
+                raise ValueError(f"unknown op {op}")
+            stats.append(stat(h))
+        return jnp.concatenate(stats)
+
+    flat = np.asarray(
+        jax.jit(fwd)(folded_params, jnp.asarray(x)), np.float64)
+    sizes = _position_channels(ops, int(np.asarray(x).shape[-1]))
+    out, off = [], 0
+    for c in sizes:
+        m = np.maximum(flat[off : off + c], 1e-8)
+        err = flat[off + c : off + c * (1 + n_cand)].reshape(n_cand, c)
+        off += c * (1 + n_cand)
+        best = err.min(axis=0)
+        ok = err <= best * (1.0 + tol)
+        # Largest qualifying ratio = last True row (ratios are ascending).
+        jstar = (n_cand - 1) - np.argmax(ok[::-1, :], axis=0)
+        out.append((m * ratios_np[jstar] / 127.0).astype(np.float64))
     assert off == flat.size
     return out
 
@@ -625,7 +748,13 @@ def quantize_autotail(
         )
         head = np.asarray(model.apply_quant(q, x_calib))
         err = score(ref, head)
-        if best is None or err < best[2] * improve_factor:
+        # Any candidate that meets the threshold wins immediately — the
+        # improve_factor margin only arbitrates between candidates that are
+        # ALL over threshold (escalating the tail must buy a real
+        # improvement, not noise). Without the first clause a passing
+        # candidate could be discarded for not beating a failing best by
+        # 30%, and the caller would serve the failing config (ADVICE r3).
+        if best is None or err <= rel_threshold or err < best[2] * improve_factor:
             best = (q, tail, err)
         if best[2] <= rel_threshold:
             break
@@ -661,6 +790,24 @@ def detection_box_f1_scorer(pp_cfg):
         matched = 0
         total_ref = int(rn.sum())
         total_cand = int(cn.sum())
+        if total_ref == 0:
+            # A reference pass that detects NOTHING on the calibration batch
+            # (unrepresentative images, or random weights) cannot certify a
+            # quantization config — returning 0.0 would vacuously pass the
+            # self-check and ship full int8 unverified (ADVICE r3). Fall back
+            # to raw-head NRMSE, which stays meaningful without detections.
+            import warnings
+
+            warnings.warn(
+                "detection_box_f1_scorer: f32 reference produced zero "
+                "detections on the calibration batch — box-F1 is "
+                "inconclusive, falling back to head NRMSE",
+                stacklevel=2,
+            )
+            ref64 = np.asarray(ref_head).astype(np.float64)
+            cand64 = np.asarray(cand_head).astype(np.float64)
+            denom = float(np.sqrt(np.mean(ref64**2))) + 1e-12
+            return float(np.sqrt(np.mean((cand64 - ref64) ** 2))) / denom
         for k in range(rc.shape[0]):
             r = rc[k, : rn[k], :4]
             c = cc[k, : cn[k], :4]

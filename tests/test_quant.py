@@ -153,6 +153,46 @@ def test_auto_calibration_picks_min_error_per_channel(trunk_setup):
     np.testing.assert_allclose(s_auto2[1:], s_max2[1:])  # clean: exact maxabs
 
 
+def test_msegrid_calibration_deterministic_and_outlier_robust(trunk_setup):
+    """percentile="msegrid" (the deterministic grid-search calibrator,
+    quant.calibrate_folded_msegrid): (a) bit-identical scale vectors across
+    repeated calibrations, (b) forward as tight as maxabs on clean data,
+    (c) clips an outlier-poisoned large-N channel decisively while clean
+    channels keep near-maxabs grids (mildest clip inside the tol window)."""
+    m, params, state, folded, x = trunk_setup
+    # (a) determinism: the VERDICT-r3 requirement behind the scheme
+    s1 = quant.calibrate_folded(folded, x, m.ops, percentile="msegrid")
+    s2 = quant.calibrate_folded(folded, x, m.ops, percentile="msegrid")
+    assert all(np.array_equal(a, b) for a, b in zip(s1, s2))
+
+    # (b) clean data: forward tracks f32 as tightly as the other schemes
+    q = m.quantize(folded, x, percentile="msegrid")
+    h_f32, _ = m.apply(params, state, x, train=False)
+    h_q = m.apply_quant(q, x, head_dtype=jnp.float32)
+    err = float(np.max(np.abs(np.asarray(h_q) - np.asarray(h_f32))))
+    ref = float(np.max(np.abs(np.asarray(h_f32))))
+    assert err / ref < 0.08, f"rel err {err / ref}"
+
+    # (c) lone hot pixel at a LARGE-N position (1.05M samples/channel):
+    # clip error out^2/N is far below the stretched grid's bulk error, so
+    # msegrid must clip channel 0 to the bulk; clean channels stay within
+    # one tol-window step of exact maxabs.
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0.0, 1.0, (1, 1024, 1024, 3)).astype(np.float32)
+    a[0, 0, 0, 0] = 30.0
+    s_mse = quant.calibrate_folded(
+        folded, jnp.asarray(a), [], percentile="msegrid")[0]
+    s_max = quant.calibrate_folded(folded, jnp.asarray(a), [])[0]
+    assert s_max[0] > 0.2          # maxabs grid stretched to ~30/127
+    # the grid balances bulk rounding vs outlier clip error: a decisive
+    # (>3x) clip below maxabs, though not all the way to the bulk (the
+    # outlier's clip error keeps the true MSE minimum at a mild clip)
+    assert s_mse[0] < 0.3 * s_max[0]
+    # clean channels: at most one grid step below maxabs (mildest-clip rule)
+    ratios = quant.msegrid_ratios()
+    assert (s_mse[1:] >= s_max[1:] * ratios[-2] * 0.999).all()
+
+
 def test_fused_residual_requant_matches_unfused(trunk_setup):
     """fuse_residual folds the 23 skip adds into conv epilogues with ONE
     requant to the post-add scale (half the rounding of the unfused form) —
@@ -511,6 +551,14 @@ def test_quantize_autotail_selection_logic():
     m = FakeModel({0: 0.5, 2: 0.45, 4: 0.48, 8: 0.47})
     q, tail, err = quantize_autotail(m, None, None)
     assert tail == 0 and err == pytest.approx(0.5, rel=1e-3)
+
+    # A candidate that MEETS the threshold wins even when it isn't a 30%
+    # improvement over the (failing) best — ADVICE r3: the old rule
+    # discarded the passing tail2 (0.045 vs 0.06*0.7=0.042) and served the
+    # over-threshold tail0, which export_cli then needlessly rejected.
+    m = FakeModel({0: 0.06, 2: 0.045, 4: 0.05, 8: 0.05})
+    q, tail, err = quantize_autotail(m, None, None)
+    assert tail == 2 and err == pytest.approx(0.045, rel=1e-3)
 
 
 def test_detection_box_f1_scorer():
