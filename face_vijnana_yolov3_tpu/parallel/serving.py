@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from face_vijnana_yolov3_tpu.parallel.mesh import batch_sharded, replicated
 from face_vijnana_yolov3_tpu.utils.runtime import tpu_compiler_options
@@ -67,5 +67,65 @@ def detect_quant_dp(model, mesh: Mesh, qparams, *, postprocess_cfg=None,
         fwd,
         in_shardings=(img_sharding,),
         out_shardings=(img_sharding,) * n_out if n_out > 1 else img_sharding,
+        compiler_options=tpu_compiler_options("serving"),
+    )
+
+
+def identify_roi_dp(embed_fn, mesh: Mesh, *, image_size: int,
+                    window_h: int, window_w: int):
+    """Fused ROI identify — windowed crop+letterbox matmuls → embed trunk →
+    registry match — with the ROI axis data-parallel over the mesh.
+
+    Multi-chip form of the FI serving flagship
+    (api/face_identification._roi_fused_fn; the reference's counterpart is
+    the one-crop-per-predict host loop at
+    /root/reference/src/space/face_identification.py:872-925): the packed
+    per-ROI operand array (ops/roi.pack_roi_operands layout, shape
+    (n_sub, bucket, F)) shards its BUCKET axis over 'data', while the staged
+    originals and the registry replicate. Every stage of the program is
+    per-ROI — the dynamic-slice window gather reads the replicated staged
+    batch locally, the embed trunk is batch-over-ROIs, and the registry
+    argmin is per query — so the forward needs no collectives at all and
+    scales linearly, exactly like detect_quant_dp.
+
+    Args:
+      embed_fn: raw (unjitted) crops→embeddings closure — e.g. the
+        pipeline's `_embed_raw(bucket)`, or `model.embed_folded` bound to
+        folded params. Must be un-jitted: compiler_options jits are
+        top-level-only.
+      image_size: letterbox target (the embed trunk's input size).
+      window_h/window_w: the dynamic-slice window bucket
+        (ops/roi.window_bucket of the chunk's largest crop).
+
+    Returns fn(staged[B,maxH,maxW,C], packed[n_sub,bucket,F], reg[R,D]) ->
+    (n_sub, bucket, 2) float32 [best_idx, best_dist] rows, bucket-sharded.
+    `bucket` must be divisible by the 'data' axis size.
+    """
+    from face_vijnana_yolov3_tpu.ops.roi import (
+        roi_letterbox_device_windowed,
+        unpack_roi_operands,
+    )
+    from face_vijnana_yolov3_tpu.ops.similarity import match_embeddings
+
+    repl = replicated(mesh)
+    roi_sharding = NamedSharding(mesh, P(None, "data", None))
+
+    def fwd(staged, packed, reg):
+        def sub(p):
+            org, ri, rw, ci, cw = unpack_roi_operands(p, image_size)
+            crops = roi_letterbox_device_windowed(
+                staged, org, ri, rw, ci, cw,
+                window_h=window_h, window_w=window_w,
+            )
+            emb = embed_fn(crops)
+            idx, dist = match_embeddings(emb, reg)
+            return jnp.stack([idx.astype(jnp.float32), dist], -1)
+
+        return jax.lax.map(sub, packed)
+
+    return jax.jit(
+        fwd,
+        in_shardings=(repl, roi_sharding, repl),
+        out_shardings=roi_sharding,
         compiler_options=tpu_compiler_options("serving"),
     )

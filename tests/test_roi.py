@@ -471,3 +471,69 @@ def test_roi_taps_degenerate_aspect_raises():
     # sane aspect still fine
     ri, rw, ci, cw = roi_letterbox_taps(0, 0, 30, 40, 64)
     assert ri.shape == (64, 4) and cw.shape == (64, 4)
+
+
+def test_identify_roi_dp_matches_single_device():
+    """parallel/serving.identify_roi_dp: the fused crop→embed→match program
+    sharded ROI-data-parallel over the 8-device mesh matches the
+    single-device program (idx exactly, dist at f32-summation tolerance —
+    the GSPMD-partitioned program's fusion choices may differ)."""
+    from face_vijnana_yolov3_tpu.models.identifier import FaceIdentifierModel
+    from face_vijnana_yolov3_tpu.ops.roi import (
+        build_roi_windows,
+        pack_roi_operands,
+        stack_roi_taps,
+        window_bucket,
+    )
+    from face_vijnana_yolov3_tpu.parallel import mesh as mesh_lib
+    from face_vijnana_yolov3_tpu.parallel.serving import identify_roi_dp
+
+    size, staged_hw = 64, 128
+    idm = FaceIdentifierModel(image_size=size, dense1_dim=16)
+    iparams, istate = idm.init(jax.random.PRNGKey(3))
+    ifolded = idm.fold(iparams, istate)
+
+    def embed_fn(crops):
+        return idm.embed_folded(ifolded, crops, compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(5)
+    staged = rng.integers(0, 255, (2, staged_hw, staged_hw, 3), dtype=np.uint8)
+    boxes = np.asarray(
+        [[8, 10, 70, 80], [30, 20, 110, 100], [5, 40, 60, 120], [50, 8, 120, 60]],
+        np.float32,
+    )
+    owners, wins = [], []
+    for j in range(2):
+        keep_j, wins_j = build_roi_windows(boxes, staged_hw, staged_hw)
+        owners += [(j, k) for k in keep_j]
+        wins += wins_j
+    wh = window_bucket(max(w[2] for w in wins), staged_hw)
+    ww = window_bucket(max(w[3] for w in wins), staged_hw)
+    origins = np.zeros((len(wins), 3), np.int32)
+    for r, ((j, _k), (y0, x0, _ch, _cw)) in enumerate(zip(owners, wins)):
+        origins[r] = (j, min(y0, staged_hw - wh), min(x0, staged_hw - ww))
+    ri, rw, ci, cw = stack_roi_taps(wins, size, origins[:, 1:])
+    bucket = len(wins)  # 8 ROIs = divisible by the 'data' axis (4)
+    packed = pack_roi_operands(origins, ri, rw, ci, cw).reshape(1, bucket, -1)
+    reg = rng.normal(size=(6, 16)).astype(np.float32)
+    reg /= np.linalg.norm(reg, axis=-1, keepdims=True)
+
+    mesh = mesh_lib.make_mesh(8, model_axis=2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fn_dp = identify_roi_dp(embed_fn, mesh, image_size=size,
+                            window_h=wh, window_w=ww)
+    out_dp = np.asarray(fn_dp(
+        jax.device_put(jnp.asarray(staged), mesh_lib.replicated(mesh)),
+        jax.device_put(jnp.asarray(packed),
+                       NamedSharding(mesh, P(None, "data", None))),
+        jax.device_put(jnp.asarray(reg), mesh_lib.replicated(mesh)),
+    ))
+    mesh1 = mesh_lib.make_mesh(1)
+    fn_1 = identify_roi_dp(embed_fn, mesh1, image_size=size,
+                           window_h=wh, window_w=ww)
+    out_1 = np.asarray(fn_1(jnp.asarray(staged), jnp.asarray(packed),
+                            jnp.asarray(reg)))
+    assert out_dp.shape == (1, bucket, 2)
+    np.testing.assert_array_equal(out_dp[..., 0], out_1[..., 0])
+    np.testing.assert_allclose(out_dp[..., 1], out_1[..., 1], atol=1e-4)
