@@ -252,6 +252,70 @@ def measure_aps_cached(ckpt, valdir, meta):
     return dict(ap)
 
 
+def measure_train_throughput(model, params, state):
+    """img/s of the bf16 b128 donated-scan detector train step.
+
+    The driver-visible training number (VERDICT r3 #6): the same donated
+    scan-chained SPMD step train/trainer.py runs (weighted-MSE loss, keras
+    Adam, bf16 compute with f32 master params), on device-generated data so
+    the tunneled h2d upload doesn't pollute the measurement. Steps are
+    data-dependent through the param carry, so the runtime cannot dedupe
+    them; the timed call runs on post-update params (the compile call's
+    donated outputs), so its arguments differ from the compile call's.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from face_vijnana_yolov3_tpu.train.optimizer import keras_adam
+    from face_vijnana_yolov3_tpu.utils.runtime import tpu_compiler_options
+
+    batch, n_steps = 128, 8
+    tx = keras_adam(1e-3)
+    opt_state = tx.init(params)
+    grid = 416 // 32
+
+    def step_fn(params, state, opt_state, images, gts):
+        def loss_fn(p):
+            pred, new_state = model.apply(
+                p, state, images, train=True, compute_dtype=jnp.bfloat16
+            )
+            return jnp.mean(jnp.square(pred - gts)), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_state, new_opt, loss
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2),
+             compiler_options=tpu_compiler_options("train"))
+    def epoch(params, state, opt_state, imgs, gts):
+        def body(carry, xs):
+            p, s, o = carry
+            im, gt = xs
+            p, s, o, loss = step_fn(p, s, o, im, gt)
+            return (p, s, o), loss
+
+        (params, state, opt_state), losses = jax.lax.scan(
+            body, (params, state, opt_state), (imgs, gts))
+        return params, state, opt_state, losses
+
+    imgs = jax.random.uniform(
+        jax.random.PRNGKey(1), (n_steps, batch, 416, 416, 3), jnp.bfloat16)
+    gts = jax.random.uniform(
+        jax.random.PRNGKey(2), (n_steps, batch, grid, grid, 6), jnp.float32)
+    params, state, opt_state, losses = epoch(
+        params, state, opt_state, imgs, gts)  # compile + warm
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    out = epoch(params, state, opt_state, imgs, gts)
+    jax.block_until_ready(out[3])
+    dt = time.perf_counter() - t0
+    return n_steps * batch / dt
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
@@ -421,6 +485,18 @@ def main():
         out_extra[f"{path}_b{batch}_img_s"] = round(ips, 1)
         if ips > best and eligible:
             best, best_path, best_batch = ips, path, batch
+
+    # Driver-visible TRAINING throughput (budget-gated; donates params, so
+    # it runs last — `folded`/qparams were built long before).
+    if remaining() > 240:
+        try:
+            train_ips = measure_train_throughput(model, params, state)
+            _log(f"train b128 bf16: {train_ips:.0f} img/s")
+            out_extra["train_img_s"] = round(train_ips, 1)
+        except Exception as e:
+            _log(f"train throughput stage failed: {e}")
+    else:
+        _log("skipping train throughput: insufficient budget")
 
     out = {
         "metric": f"416^2 images/sec/chip (detect+NMS fused, {best_path} PTQ)"

@@ -24,7 +24,10 @@ import jax.numpy as jnp
 
 from face_vijnana_yolov3_tpu.api.config import FdConf, load_conf, apply_overrides
 from face_vijnana_yolov3_tpu.models.detector import FaceDetectorModel
-from face_vijnana_yolov3_tpu.ops.letterbox import letterbox_host, unletterbox_boxes
+from face_vijnana_yolov3_tpu.ops.letterbox import (
+    letterbox_host,
+    unletterbox_boxes_chunk,
+)
 from face_vijnana_yolov3_tpu.ops.postprocess import (
     FacePostprocessConfig,
     face_postprocess,
@@ -690,17 +693,19 @@ class FaceDetectorPipeline:
                     )
             else:
                 cands, counts = self.detect_batch(batch)
+            # Chunk-vectorized un-letterbox (bitwise-identical to the
+            # per-image f64 calls — ops/letterbox.unletterbox_boxes_chunk);
+            # the remaining per-image work is O(counts[k]) slicing.
+            ub = unletterbox_boxes_chunk(cands, geoms)
+            scores = cands[..., 5].astype(np.float64)
             boxes_list = []
             for k in range(len(chunk)):
                 n = int(counts[k])
-                rows = cands[k, :n]
-                boxes = unletterbox_boxes(rows[:, :4].astype(np.float64), geoms[k])
+                boxes = ub[k, :n]
                 if self.conf.apply_face_region_ratio:
                     boxes = self._correct_aspect_ratio(boxes)
                 boxes_list.append(
-                    np.concatenate(
-                        [boxes, rows[:, 5:6].astype(np.float64)], axis=1
-                    )
+                    np.concatenate([boxes, scores[k, :n, None]], axis=1)
                 )
             yield chunk, originals, geoms, boxes_list, staged_dev
 

@@ -7,6 +7,7 @@ from face_vijnana_yolov3_tpu.ops.letterbox import (
     letterbox_host,
     letterbox_device,
     unletterbox_boxes,
+    unletterbox_boxes_chunk,
 )
 from face_vijnana_yolov3_tpu.ops.decode import decode_face_head, decode_coco_scale
 from face_vijnana_yolov3_tpu.ops.nms import nms_single_class, nms_multi_class
@@ -24,6 +25,7 @@ __all__ = [
     "letterbox_host",
     "letterbox_device",
     "unletterbox_boxes",
+    "unletterbox_boxes_chunk",
     "decode_face_head",
     "decode_coco_scale",
     "nms_single_class",

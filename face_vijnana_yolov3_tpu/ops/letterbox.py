@@ -194,6 +194,41 @@ def pack_geometry(geom: LetterboxGeometry) -> np.ndarray:
     )
 
 
+def unletterbox_boxes_chunk(
+    cands: np.ndarray, geoms: list
+) -> np.ndarray:
+    """Chunk-vectorized `unletterbox_boxes`: map a whole detect chunk's
+    (B, N, >=4) candidate rows back to original coords in ONE set of f64
+    numpy passes instead of B per-image calls.
+
+    Bitwise-identical to calling `unletterbox_boxes(cands[k, :, :4],
+    geoms[k])` per image: the math is elementwise f64 with per-image scalar
+    broadcasts, and `np.where` selects between branch values computed with
+    the same ops the scalar version runs. Rows beyond each image's real
+    count come back transformed like any others — the caller slices them
+    away (streaming consumer, api/face_detection._iter_detection_chunks).
+    """
+    b = np.asarray(cands[..., :4], np.float64)  # (B, N, 4)
+    if b.shape[0] == 0:
+        return b
+    s = float(geoms[0].image_size)
+    w = np.asarray([g.src_w for g in geoms], np.float64)[:, None, None]
+    h = np.asarray([g.src_h for g in geoms], np.float64)[:, None, None]
+    pad_t = np.asarray([g.pad_t for g in geoms], np.float64)[:, None, None]
+    pad_l = np.asarray([g.pad_l for g in geoms], np.float64)[:, None, None]
+    wide = w >= h  # (B,1,1): landscape pads rows (pad_t), portrait pads cols
+    out = np.empty_like(b)
+    for x0, x1 in ((0, 2), (1, 3)):  # (xmin,xmax) then (ymin,ymax)
+        x = b[..., (x0, x1)]  # (B, N, 2)
+        # landscape: x unpadded (clamp at w), y pad_t-shifted (clamp 0..h)
+        land = (np.minimum(x * w / s, w) if x0 == 0 else
+                np.minimum(np.maximum(x - pad_t, 0) * w / s, h))
+        port = (np.minimum(np.maximum(x - pad_l, 0) * h / s, w) if x0 == 0
+                else np.minimum(x * h / s, h))
+        out[..., (x0, x1)] = np.where(wide, land, port)
+    return out
+
+
 def unletterbox_boxes(
     boxes: np.ndarray, geom: LetterboxGeometry
 ) -> np.ndarray:

@@ -116,6 +116,26 @@ def test_unletterbox_boxes_matches_reference_formulas():
         assert out[k, 3] == pytest.approx(min(max(ymax - g.pad_t, 0) * w / s, h))
 
 
+def test_unletterbox_boxes_chunk_bitwise_matches_per_image():
+    """The chunk-vectorized consumer path (streaming serving) must be
+    BITWISE identical to the per-image f64 unletterbox across mixed
+    landscape/portrait geometries."""
+    from face_vijnana_yolov3_tpu.ops.letterbox import unletterbox_boxes_chunk
+
+    rng = np.random.default_rng(3)
+    geoms = [
+        letterbox_geometry(300, 500, 416),   # landscape
+        letterbox_geometry(640, 360, 416),   # portrait
+        letterbox_geometry(416, 416, 416),   # square (wide branch)
+        letterbox_geometry(57, 1203, 416),   # extreme aspect
+    ]
+    cands = rng.uniform(-10, 430, (4, 60, 6))
+    out = unletterbox_boxes_chunk(cands, geoms)
+    for k, g in enumerate(geoms):
+        want = unletterbox_boxes(cands[k, :, :4].astype(np.float64), g)
+        np.testing.assert_array_equal(out[k], want)
+
+
 # ------------------------------------------------------------------ decode
 
 def _random_head(rng, peaky=True):
