@@ -212,13 +212,19 @@ def measure_ap(ckpt, valdir, precision):
         model_path=ckpt,
         model_loading=True,
     )
+    if precision == "bfloat16":
+        # Same serving default the throughput stage measures: the guard
+        # depth is probed per checkpoint (autoselect_bf16_front), not
+        # hardwired to 2.
+        conf.bf16_f32_front = "auto"
     fd = FaceDetectorPipeline(conf, precision=precision)
     fd.test()
+    guard = getattr(fd, "bf16_front_chosen", None)
     if os.path.getsize(sol) == 0:
-        return 0.0, 0.0
+        return 0.0, 0.0, guard
     _, _, maps = map_sweep(os.path.join(valdir, "validation.csv"), sol,
                            out_h5=None)
-    return float(maps[0]), float(np.mean(maps))
+    return float(maps[0]), float(np.mean(maps)), guard
 
 
 def measure_aps_cached(ckpt, valdir, meta):
@@ -229,6 +235,10 @@ def measure_aps_cached(ckpt, valdir, meta):
         cache.clear()  # APs of an older checkpoint are dead — drop them
         cache[key] = {}
     ap = cache[key]
+    # a bf16 AP cached before the auto-guard era was measured at the
+    # hardwired depth 2 — re-measure under the serving default
+    if "bf16_ap50" in ap and "bf16_guard" not in ap:
+        del ap["bf16_ap50"]
     for precision, fields in (
         ("float32", ("f32_ap50", "f32_map")),
         ("int8", ("int8_ap50", "int8_map")),
@@ -240,10 +250,12 @@ def measure_aps_cached(ckpt, valdir, meta):
             _log(f"skipping {precision} AP pass: insufficient budget")
             continue
         t0 = time.monotonic()
-        ap50, mean_map = measure_ap(ckpt, valdir, precision)
+        ap50, mean_map, guard = measure_ap(ckpt, valdir, precision)
         ap[fields[0]] = round(ap50, 4)
         if fields[1]:
             ap[fields[1]] = round(mean_map, 4)
+        if guard is not None:
+            ap["bf16_guard"] = guard
         _save_meta(meta)
         _log(f"{precision} AP pass in {time.monotonic()-t0:.0f}s "
              f"(AP50 {ap50:.4f})")
@@ -392,12 +404,31 @@ def main():
     _log(f"int8 calibration self-check: 1-boxF1 {int8_err:.4f}, "
          f"bf16 tail {int8_tail}")
 
+    # Per-checkpoint bf16 guard depth (autoselect_bf16_front's rule): the
+    # shallowest f32 front whose bf16 head reproduces the f32 detections on
+    # the calibration batch — the same config measure_ap's bfloat16 pass
+    # serves (conf.bf16_f32_front="auto").
+    bf16_scorer = detection_box_f1_scorer(cfg)
+    ref_head = np.asarray(
+        model.apply_folded(folded, x_calib, compute_dtype=jnp.float32))
+    bf16_front, bf16_front_err = 2, None
+    for depth_c in (0, 1, 2):
+        bf16_front_err = bf16_scorer(ref_head, np.asarray(model.apply_folded(
+            folded, x_calib, compute_dtype=jnp.bfloat16,
+            f32_front_blocks=depth_c)))
+        if bf16_front_err <= SELFCHECK_THRESHOLD:
+            bf16_front = depth_c
+            break
+    _log(f"bf16 guard auto depth {bf16_front} "
+         f"(1-boxF1 {bf16_front_err:.4f})")
+
     def step_bf16(w, images):
-        # f32_front_blocks=2 matches FdConf.bf16_f32_front (the bf16 path's
-        # accuracy guard): throughput and the AP measured above are the same
-        # configuration. int8-auto (below) is the headline serving default.
+        # guard depth probed per checkpoint above: throughput and the AP
+        # measured in measure_ap are the same configuration. int8-auto
+        # (below) is the headline serving default.
         head = model.apply_folded(
-            w, images, compute_dtype=jnp.bfloat16, f32_front_blocks=2
+            w, images, compute_dtype=jnp.bfloat16,
+            f32_front_blocks=bf16_front,
         )
         return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
 
@@ -513,6 +544,7 @@ def main():
         "int8_tail": int8_tail,
         "int8_calib_err": round(int8_err, 4),
         "int8_headline_eligible": int8_ok,
+        "bf16_guard": bf16_front,
     }
     out.update(out_extra)
     out.update({k: round(v, 4) for k, v in ap.items()})

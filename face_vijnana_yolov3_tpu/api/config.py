@@ -101,7 +101,12 @@ class FdConf:
     # at ~30% bf16 throughput cost — bf16 is the no-calibration fallback,
     # accuracy wins; int8 (the headline path) is unaffected
     # (scripts/probe_bf16_degen.py, models/darknet.py).
-    bf16_f32_front: int = 2
+    # "auto": probe the LOADED checkpoint on the first detect batch and keep
+    # the shallowest depth {0,1,2} whose bf16 head reproduces the f32
+    # detections (box-F1 self-check, same machinery as int8 autotail) —
+    # reclaims the ~26% guard tax on checkpoints that don't need it
+    # (FaceDetectorPipeline.autoselect_bf16_front; depth 2 is the fallback).
+    bf16_f32_front: int | str = 2
     # bf16 front-guard flavor — EXPERIMENTAL, measured HARMFUL; keep "f32".
     # "int8" swaps the f32 guard for a calibrated int8 front (quant.py with
     # bf16_tail_blocks = everything after the guard; auto-calibrates on the

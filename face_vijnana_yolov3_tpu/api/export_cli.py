@@ -175,14 +175,57 @@ def main(argv: list[str] | None = None):
         if precision == "int8":
             if calib is None:
                 raise SystemExit("--precision int8 requires --calib")
+            calib_batch = _load_calib(calib, fi.image_size)
             # embed() calibrates _q_embed on its first batch
-            fi.embed(_load_calib(calib, fi.image_size))
+            fi.embed(calib_batch)
+            # FI int8 self-check (VERDICT r3 #4): match-flip-rate vs the f32
+            # embed on the calibration crops, mirroring the detector's
+            # box-F1 gate. Each int8 embedding is matched against the f32
+            # embeddings of ALL calibration crops; its nearest neighbour
+            # must be ITS OWN f32 twin — a flip means quantization rotated
+            # the embedding past the inter-crop separation, exactly the
+            # failure that flips registry argmins in serving
+            # (reference match loop: face_identification.py:915-925).
+            flip = _fi_int8_flip_rate(fi, conf, calib_batch)
+            if flip > 0.05:
+                msg = (f"FI int8 self-check FAILED (match-flip-rate "
+                       f"{flip:.1%} vs f32 on {len(calib_batch)} "
+                       "calibration crops)")
+                if auto_precision:
+                    print(f"[fvy-export] {msg}; falling back to guarded "
+                          "bf16")
+                    precision = "bfloat16"
+                    fi = FaceIdentifierPipeline(conf, precision="bfloat16")
+                else:
+                    print(f"[fvy-export] WARNING: {msg}; exporting the "
+                          "explicitly requested int8 anyway")
+            else:
+                print(f"[fvy-export] FI int8 self-check passed "
+                      f"(match-flip-rate {flip:.1%})")
         header = fvy_export.export_embedder(
             fi, out, batch=batch,
             with_registry=(target == "identify"), platforms=platforms,
         )
 
     print(f"[fvy-export] wrote {out}: {header}")
+
+
+def _fi_int8_flip_rate(fi, conf, calib_batch: np.ndarray) -> float:
+    """Fraction of calibration crops whose int8 embedding's nearest f32
+    embedding is NOT its own f32 twin (label-free FI quantization gate)."""
+    import jax.numpy as jnp
+
+    from face_vijnana_yolov3_tpu.api.face_identification import (
+        FaceIdentifierPipeline,
+    )
+    from face_vijnana_yolov3_tpu.ops.similarity import match_embeddings
+
+    fi32 = FaceIdentifierPipeline(conf, precision="float32")
+    emb32 = np.asarray(fi32.embed(calib_batch))
+    emb8 = np.asarray(fi.embed(calib_batch))
+    idx8, _ = match_embeddings(jnp.asarray(emb8), jnp.asarray(emb32))
+    return float(
+        (np.asarray(idx8) != np.arange(len(calib_batch))).mean())
 
 
 if __name__ == "__main__":

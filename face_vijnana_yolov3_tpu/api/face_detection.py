@@ -174,7 +174,7 @@ class FaceDetectorPipeline:
             # bf16 via the mixed-tail mechanism. No QAT — the int8 region is
             # two-to-four convs at PTQ noise level.
             n_blocks = sum(1 for op in self.model.ops if op[0] == "save")
-            front = max(1, int(getattr(self.conf, "bf16_f32_front", 2)) or 1)
+            front = max(1, self._bf16_front_depth() or 1)
             self._qparams = jax.device_put(
                 self.model.quantize(
                     folded, x_calib,
@@ -263,6 +263,70 @@ class FaceDetectorPipeline:
         self._detect_fn = None
         self._fused_cache = {}
 
+    def _bf16_front_depth(self) -> int:
+        """Resolve conf.bf16_f32_front: an int is used as-is; "auto" reads
+        the depth autoselect_bf16_front measured (2 — the conservative
+        default — until the probe has run)."""
+        front = getattr(self.conf, "bf16_f32_front", 2)
+        if front == "auto":
+            return int(getattr(self, "bf16_front_chosen", 2))
+        return int(front)
+
+    def autoselect_bf16_front(self, images: np.ndarray,
+                              threshold: float = 0.05):
+        """Pick the SHALLOWEST f32-front guard depth in {0, 1, 2} whose bf16
+        head reproduces the f32 detections on a representative batch.
+
+        The always-2 guard costs ~26% throughput (2664 → 1971 img/s,
+        PROFILE.md guard table) against a failure mode that is checkpoint-
+        dependent: bf16 input rounding amplifies through conv_0/1 (depth 1)
+        or the first residual block (depth 2) only on SOME trained trunks
+        and SOME rare inputs (scripts/probe_bf16_bisect.py). This probe
+        bisects on the actual loaded checkpoint with the same detection-
+        level self-check as int8 calibration (models/quant.
+        detection_box_f1_scorer): depths escalate 0 → 1 → 2 until the
+        box-F1 error on `images` passes `threshold`; depth 2 is kept as the
+        accuracy-safe fallback when nothing shallower passes.
+
+        `images` is a (N, S, S, 3) letterboxed float batch (16-32 images).
+        Returns (depth, err) and pins the choice for every subsequent
+        detect program (conf.bf16_f32_front == "auto" consumers).
+        """
+        from face_vijnana_yolov3_tpu.models.quant import (
+            detection_box_f1_scorer,
+        )
+
+        folded = self.model.fold(self.params, self.state)
+        x = jnp.asarray(np.asarray(images)[:32], jnp.float32)
+        ref = np.asarray(
+            self.model.apply_folded(folded, x, compute_dtype=jnp.float32)
+        )
+        scorer = detection_box_f1_scorer(self._pp_cfg)
+        depth, err = 2, None
+        for cand in (0, 1, 2):
+            head = np.asarray(self.model.apply_folded(
+                folded, x, compute_dtype=jnp.bfloat16,
+                f32_front_blocks=cand,
+            ))
+            err = scorer(ref, head)
+            if err <= threshold:
+                depth = cand
+                break
+        else:
+            depth = 2
+        self.bf16_front_chosen = depth
+        self.bf16_front_err = err
+        if depth != 2:
+            print(f"[autoselect_bf16_front] guard narrowed to depth {depth} "
+                  f"(1-boxF1 {err:.4f} on {x.shape[0]} images)")
+        self._invalidate_jits()
+        return depth, err
+
+    def _bf16_front_auto_pending(self) -> bool:
+        return (self.precision == "bfloat16" and not self._hybrid_front
+                and getattr(self.conf, "bf16_f32_front", 2) == "auto"
+                and not hasattr(self, "bf16_front_chosen"))
+
     def _build_detect(self):
         cfg = self._pp_cfg
         if self.precision == "int8":
@@ -301,7 +365,7 @@ class FaceDetectorPipeline:
                     compiler_options=tpu_compiler_options("serving"))
                 return
             folded = self.model.fold(self.params, self.state)
-            front = getattr(self.conf, "bf16_f32_front", 2)
+            front = self._bf16_front_depth()
 
             def detect(images):
                 head = self.model.apply_folded(
@@ -334,6 +398,8 @@ class FaceDetectorPipeline:
         if ((self.precision == "int8" or self._hybrid_front)
                 and getattr(self, "_qparams", None) is None):
             self.calibrate_int8(np.asarray(images))
+        if self._bf16_front_auto_pending():
+            self.autoselect_bf16_front(np.asarray(images))
         if self._jit_detect is None:
             self._build_detect()
         cands, counts = self._jit_detect(jnp.asarray(images, jnp.float32))
@@ -501,8 +567,10 @@ class FaceDetectorPipeline:
                 return s.astype(jnp.float32) * (1.0 / 255.0)
             return s.astype(jnp.float32)
 
-        if ((self.precision == "int8" or self._hybrid_front)
-                and getattr(self, "_qparams", None) is None):
+        need_calib = ((self.precision == "int8" or self._hybrid_front)
+                      and getattr(self, "_qparams", None) is None)
+        need_front = self._bf16_front_auto_pending()
+        if need_calib or need_front:
             # 32 images: the box-F1 self-check needs ≥16 to resolve tail
             # improvements (8-image F1 granularity ~0.05 masked the tail-8
             # recovery on the round-3 bench checkpoint; PROFILE.md).
@@ -516,7 +584,10 @@ class FaceDetectorPipeline:
             )(jnp.asarray(staged[:k]),
               jnp.asarray(row_ms[:1] if uniform else row_ms[:k]),
               jnp.asarray(col_ms[:1] if uniform else col_ms[:k]))
-            self.calibrate_int8(np.asarray(lb))
+            if need_calib:
+                self.calibrate_int8(np.asarray(lb))
+            if need_front:
+                self.autoselect_bf16_front(np.asarray(lb))
         if self._jit_detect is None:
             self._build_detect()
         key = ("fused", staged.shape, staged.dtype.str, uniform)

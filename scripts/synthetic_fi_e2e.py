@@ -53,7 +53,8 @@ def subject_face(sid: int, size: int, rng) -> np.ndarray:
     return np.clip(face, 0, 255), disk
 
 
-def make_tree(root: str, n_subjects: int, seed: int = 0):
+def make_tree(root: str, n_subjects: int, seed: int = 0,
+              hold_per_subj: int = HOLD_PER_SUBJ):
     import pandas as pd
 
     from face_vijnana_yolov3_tpu.utils.io import imsave
@@ -64,7 +65,7 @@ def make_tree(root: str, n_subjects: int, seed: int = 0):
     rows, holdout = [], []
     fid = 0
     for sid in range(1, n_subjects + 1):
-        for j in range(TRAIN_PER_SUBJ + HOLD_PER_SUBJ):
+        for j in range(TRAIN_PER_SUBJ + hold_per_subj):
             fsize = int(rng.integers(90, 200))
             face, disk = subject_face(sid, fsize, rng)
             img = rng.uniform(30, 90, (IMG, IMG, 3))

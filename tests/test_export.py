@@ -290,3 +290,40 @@ def test_export_cli_int8_selfcheck_fallback(tmp_path, monkeypatch):
     ])
     art2 = load_artifact(str(out2))
     assert art2.meta["precision"] == "int8"  # honored despite the warning
+
+
+def test_fi_int8_flip_rate_gate():
+    """export_cli._fi_int8_flip_rate (the FI int8 export gate, VERDICT r3
+    #4): each int8 calibration-crop embedding must nearest-match its own
+    f32 twin. Distinct random crops on a random-weight trunk stay separated
+    (rate ~0); a pipeline whose embeddings are permuted flips every match
+    (rate 1)."""
+    import numpy as np
+
+    from face_vijnana_yolov3_tpu.api.config import Conf
+    from face_vijnana_yolov3_tpu.api.export_cli import _fi_int8_flip_rate
+    from face_vijnana_yolov3_tpu.api.face_identification import (
+        FaceIdentifierPipeline,
+    )
+
+    conf = Conf()
+    for c in (conf.fi_conf, conf.fd_conf):
+        c.weights_path = "missing.weights"
+        c.nn_arch.image_size = 64
+    conf.fi_conf.nn_arch.dense1_dim = 8
+    rng = np.random.default_rng(0)
+    calib = rng.uniform(0, 1, (6, 64, 64, 3)).astype(np.float32)
+
+    fi8 = FaceIdentifierPipeline(conf, precision="int8")
+    rate = _fi_int8_flip_rate(fi8, conf, calib)
+    assert 0.0 <= rate <= 1.0
+    assert rate <= 0.05  # random-weight PTQ noise far below crop separation
+
+    class Permuted:
+        def __init__(self, fi):
+            self.fi = fi
+
+        def embed(self, x):
+            return np.roll(self.fi.embed(x), 1, axis=0)
+
+    assert _fi_int8_flip_rate(Permuted(fi8), conf, calib) == 1.0

@@ -434,6 +434,40 @@ def test_fi_embed_bf16_int8_front():
     assert np.linalg.norm(e - e_ref, axis=-1).max() < 0.2
 
 
+def test_pipeline_bf16_front_auto(tmp_path, monkeypatch):
+    """conf.bf16_f32_front="auto": the pipeline probes guard depths {0,1,2}
+    on the first detect batch (detection-level self-check) and builds the
+    detect program at the chosen depth; when no depth passes, the
+    accuracy-safe depth 2 is kept (FaceDetectorPipeline.
+    autoselect_bf16_front, VERDICT r3 #7)."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.models import quant as quant_mod
+
+    conf = FdConf(weights_path=str(tmp_path / "missing.weights"))
+    conf.nn_arch.image_size = 96
+    conf.bf16_f32_front = "auto"
+    fd = FaceDetectorPipeline(conf, precision="bfloat16")
+    x = np.random.default_rng(0).uniform(
+        0, 1, (2, 96, 96, 3)).astype(np.float32)
+    fd.detect_batch(x)
+    assert fd.bf16_front_chosen in (0, 1, 2)
+    assert fd._bf16_front_depth() == fd.bf16_front_chosen
+    assert fd.bf16_front_err is not None
+
+    # forced-failure path: a scorer that rejects every depth -> fallback 2
+    monkeypatch.setattr(quant_mod, "detection_box_f1_scorer",
+                        lambda cfg: (lambda ref, cand: 1.0))
+    fd2 = FaceDetectorPipeline(conf, precision="bfloat16")
+    fd2.detect_batch(x)
+    assert fd2.bf16_front_chosen == 2
+
+    # explicit int depth is honored untouched
+    conf.bf16_f32_front = 1
+    fd3 = FaceDetectorPipeline(conf, precision="bfloat16")
+    assert fd3._bf16_front_depth() == 1
+
+
 def test_bias_correct_shrinks_mean_error(trunk_setup):
     """PTQ bias correction (quant.bias_correct_quant): the per-channel MEAN
     trunk-output error vs the f32 twin shrinks decisively; only biases change
