@@ -85,6 +85,12 @@ class FdConf:
     # int8 serving path (0 = full int8). Trained checkpoints' late-layer
     # outliers are the int8 AP gap (models/quant.py bf16_tail_blocks).
     int8_bf16_tail: int = 0
+    # Selective bf16 islands: conv indices served folded-bf16 INSIDE the
+    # int8 walk (models/quant.quantize_folded bf16_ops) — name the damage
+    # layers int8_error_profile localizes instead of paying a whole
+    # contiguous tail. Empty = none. Disables the autotail self-check's
+    # tail escalation when set (the named set IS the mitigation).
+    int8_bf16_ops: tuple = ()
     # Calibration SELF-CHECK (models/quant.quantize_autotail, default on):
     # when int8_bf16_tail is 0 and no QAT, verify the freshly calibrated
     # int8 program against the folded-f32 head on the calibration batch and

@@ -215,7 +215,8 @@ class FaceDetectorPipeline:
                 tail_blocks=getattr(self.conf, "int8_qat_tail", 4),
             )
         tail_cfg = getattr(self.conf, "int8_bf16_tail", 0)
-        if (not qat_steps and not tail_cfg
+        bf16_ops = tuple(getattr(self.conf, "int8_bf16_ops", ()) or ())
+        if (not qat_steps and not tail_cfg and not bf16_ops
                 and getattr(self.conf, "int8_tail_auto", True)):
             # Self-checking calibration: escalate the bf16 tail only when
             # the int8 head demonstrably diverges from the folded-f32 head
@@ -246,10 +247,12 @@ class FaceDetectorPipeline:
                 percentile=percentile,
                 bf16_tail_blocks=tail_cfg,
                 act_scales=act_scales,
-                # off after QAT: the refined kernels were trained against the
-                # uncorrected biases (models/quant.quantize_folded docstring)
-                bias_correct=(not qat_steps) and bool(
+                # off after QAT (the refined kernels were trained against
+                # the uncorrected biases) and with bf16 islands (the
+                # correction walk models an all-int8 program)
+                bias_correct=(not qat_steps) and not bf16_ops and bool(
                     getattr(self.conf, "int8_bias_correct", False)),
+                bf16_ops=bf16_ops,
             )
         )
         self.int8_tail_chosen = tail_cfg

@@ -118,7 +118,7 @@ class FaceDetectorModel:
 
     def quantize(self, folded, x_calib, *, percentile: float | None = None,
                  bf16_tail_blocks: int = 0, act_scales=None,
-                 bias_correct: bool = False):
+                 bias_correct: bool = False, bf16_ops: tuple = ()):
         """Calibrated int8 qparams from folded params (models/quant.py).
 
         TPU-native serving optimization (no reference counterpart): int8 MXU
@@ -131,13 +131,15 @@ class FaceDetectorModel:
         refinement so the deployed scales equal the trained-against ones).
         bias_correct: fold measured per-channel mean quantization error into
         the deployed biases (models/quant.bias_correct_quant).
+        bf16_ops: conv indices served as folded-bf16 islands inside the
+        int8 walk (selective damage-layer fallback, models/quant.py).
         """
         from face_vijnana_yolov3_tpu.models import quant
 
         return quant.quantize_folded(
             folded, x_calib, self.ops, percentile=percentile,
             bf16_tail_blocks=bf16_tail_blocks, act_scales=act_scales,
-            bias_correct=bias_correct,
+            bias_correct=bias_correct, bf16_ops=bf16_ops,
         )
 
     def apply_quant(self, qparams, x, *, head_dtype=jnp.bfloat16,

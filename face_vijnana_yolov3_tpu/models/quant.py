@@ -314,6 +314,7 @@ def quantize_folded(
     folded_params, x_calib, ops: list[tuple], *,
     percentile: float | str | None = None, bf16_tail_blocks: int = 0,
     act_scales: list[np.ndarray] | None = None, bias_correct: bool = False,
+    bf16_ops: tuple = (),
 ) -> dict[str, Any]:
     """folded f32 params + calibration batch -> int8 qparams pytree.
 
@@ -344,7 +345,18 @@ def quantize_folded(
     error into its deployed bias (bias_correct_quant) — zero runtime cost.
     Leave False after QAT (the refined kernels were trained against the
     uncorrected biases).
+
+    bf16_ops: conv indices to run as folded-bf16 islands INSIDE the int8
+    walk (dequant → bf16 conv → requant at the existing position scales) —
+    selective fallback for the few damage layers int8_error_profile
+    localizes, instead of a whole contiguous tail. The round-3 tail probe
+    showed the damage is localized (tails 1-4 flat, tail 8 recovers —
+    STATUS r3), so naming the layers buys back most of the tail's
+    throughput tax. Mutually exclusive with bias_correct (the correction
+    walk models an all-int8 program).
     """
+    if bf16_ops and bias_correct:
+        raise ValueError("bf16_ops and bias_correct are mutually exclusive")
     scales = (act_scales if act_scales is not None else
               calibrate_folded(folded_params, x_calib, ops,
                                percentile=percentile))
@@ -361,6 +373,10 @@ def quantize_folded(
             if op[0] == "conv":
                 tail[f"conv_{op[1]}"] = folded_host[f"conv_{op[1]}"]
         qparams["tail"] = tail
+    bf16_set = frozenset(int(i) for i in bf16_ops)
+    if bf16_set:
+        qparams["bf16_ops"] = sorted(bf16_set)
+        qparams["bf16"] = {}
     cur = 0  # scales index of the running activation (= conv input position)
     for i, op in enumerate(ops):
         if tail_start is not None and i >= tail_start:
@@ -371,6 +387,10 @@ def quantize_folded(
             cur = i + 1
             continue
         idx = op[1]
+        if idx in bf16_set:
+            qparams["bf16"][f"conv_{idx}"] = folded_host[f"conv_{idx}"]
+            cur = i + 1
+            continue
         p = folded_host[f"conv_{idx}"]
         kernel = np.asarray(p["kernel"], np.float32)
         # Fold the per-input-channel activation scale into the kernel: the
@@ -506,6 +526,102 @@ def bias_correct_quant(qparams, folded_params, x_calib, ops: list[tuple]):
     return out
 
 
+def int8_error_profile(qparams, folded_params, x, ops: list[tuple]):
+    """Per-conv relative error of the int8 walk vs the f32 folded twin —
+    the damage localizer behind selective bf16 fallback (bf16_ops).
+
+    One jitted program walks the deployed int8 numerics (fused-residual
+    requant) alongside the exact f32 forward — the same twin-walk as
+    bias_correct_quant — and records, at every conv, the post-epilogue
+    relative error ||y_q − y_f|| / ||y_f|| (per conv, over batch+space+
+    channels). A layer whose LOCAL quantization damages the network shows
+    as a JUMP in this profile relative to its input error; the jump layers
+    are the candidates for selective bf16 fallback (quantize_folded
+    bf16_ops) — the round-3 tail-probe evidence says int8 damage on trained
+    checkpoints is localized to a few late residual blocks, not spread
+    (tails 1-4 flat, tail 8 recovers; STATUS r3).
+
+    Returns {conv_idx: rel_err} in op order.
+    """
+    from face_vijnana_yolov3_tpu.models.darknet import _conv2d
+
+    scales = qparams["act_scales"]
+    n_ops = qparams.get("tail_start") or len(ops)
+
+    def walk(x):
+        errs = []
+        h_f = x.astype(jnp.float32)
+        h_q = _quant(h_f, scales[0])
+        s = scales[0]
+        saved: dict[str, tuple] = {}
+        skip_add = False
+        for i, op in enumerate(ops[:n_ops]):
+            kind = op[0]
+            s_out = scales[i + 1]
+            if skip_add:
+                skip_add = False
+                continue
+            if kind == "conv":
+                _, idx, _out_c, k, stride, _bn, leaky = op
+                qp = qparams[f"conv_{idx}"]
+                fp = folded_params[f"conv_{idx}"]
+                y_q = (_conv_int8(h_q, qp["kernel_q"], stride, k)
+                       .astype(jnp.float32) * qp["w_scale"] + qp["bias"])
+                y_f = (_conv2d(h_f, fp["kernel"], stride, k, jnp.float32)
+                       + fp["bias"])
+                if leaky:
+                    y_q = jnp.where(y_q > 0, y_q, LEAKY_ALPHA * y_q)
+                    y_f = jnp.where(y_f > 0, y_f, LEAKY_ALPHA * y_f)
+                if i + 1 < n_ops and ops[i + 1][0] == "add":
+                    sq, ss, sf = saved[ops[i + 1][1]]
+                    y_q = y_q + sq.astype(jnp.float32) * jnp.asarray(
+                        ss, jnp.float32)
+                    y_f = y_f + sf
+                    s_out = scales[i + 2]
+                    skip_add = True
+                errs.append(jnp.sqrt(
+                    jnp.mean(jnp.square(y_q - y_f))
+                    / (jnp.mean(jnp.square(y_f)) + 1e-12)))
+                h_q, s = _quant(y_q, s_out), s_out
+                h_f = y_f
+            elif kind in ("save", "mark"):
+                saved[op[1]] = (h_q, s, h_f)
+            elif kind == "add":
+                sq, ss, sf = saved[op[1]]
+                y = (sq.astype(jnp.float32) * jnp.asarray(ss, jnp.float32)
+                     + h_q.astype(jnp.float32) * jnp.asarray(s, jnp.float32))
+                h_q, s = _quant(y, s_out), s_out
+                h_f = sf + h_f
+            elif kind == "restore":
+                h_q, s, h_f = saved[op[1]]
+            elif kind == "concat":
+                sq, ss, sf = saved[op[1]]
+                y = jnp.concatenate(
+                    [h_q.astype(jnp.float32) * jnp.asarray(s, jnp.float32),
+                     sq.astype(jnp.float32) * jnp.asarray(ss, jnp.float32)],
+                    axis=-1)
+                h_q, s = _quant(y, s_out), s_out
+                h_f = jnp.concatenate([h_f, sf], axis=-1)
+            elif kind == "upsample":
+                h_q = jnp.repeat(jnp.repeat(h_q, 2, axis=1), 2, axis=2)
+                h_f = jnp.repeat(jnp.repeat(h_f, 2, axis=1), 2, axis=2)
+            elif kind == "output":
+                pass
+            else:
+                raise ValueError(f"unknown op {op}")
+        return jnp.stack(errs)
+
+    flat = np.asarray(jax.jit(walk)(jnp.asarray(x)), np.float64)
+    out = {}
+    j = 0
+    for op in ops[:n_ops]:
+        if op[0] == "conv":
+            out[op[1]] = float(flat[j])
+            j += 1
+    assert j == flat.size
+    return out
+
+
 def _pallas_block_match(ops: list[tuple], i: int, in_c: int) -> bool:
     """ops[i] is a 'save' — does a Pallas-eligible residual block start here?
 
@@ -596,6 +712,9 @@ def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = Tru
         )
         return {**head_outs, **tail_outs}
     scales = qparams["act_scales"]
+    # int() coercion: device_put may have turned the stored index list into
+    # 0-d device arrays (same as tail_start, which slices via __index__)
+    bf16_set = frozenset(int(i) for i in qparams.get("bf16_ops", ()))
     saved: dict[str, tuple[jnp.ndarray, np.ndarray]] = {}
     outputs: dict[str, jnp.ndarray] = {}
     h_q = _quant(jnp.asarray(x, jnp.float32), scales[0])
@@ -610,8 +729,35 @@ def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = Tru
         if skip_add:  # consumed by the previous conv's fused epilogue
             skip_add = False
             continue
+        if kind == "conv" and op[1] in bf16_set:
+            # Selective bf16 island (quantize_folded bf16_ops): dequantize,
+            # run the folded conv in bf16, requantize at the SAME position
+            # scales the int8 walk uses — the surrounding program is
+            # unchanged, only this conv's arithmetic escapes the int8 grid.
+            from face_vijnana_yolov3_tpu.models.darknet import _conv2d
+
+            _, idx, _out_c, k, stride, _bn, leaky = op
+            p = qparams["bf16"][f"conv_{idx}"]
+            h_f = (h_q.astype(jnp.float32)
+                   * jnp.asarray(s, jnp.float32)).astype(jnp.bfloat16)
+            y = _conv2d(h_f, jnp.asarray(p["kernel"], jnp.bfloat16),
+                        stride, k, jnp.bfloat16)
+            y = y.astype(jnp.float32) + p["bias"]
+            if leaky:
+                y = jnp.where(y > 0, y, LEAKY_ALPHA * y)
+            if (fuse_residual and i + 1 < len(ops)
+                    and ops[i + 1][0] == "add"):
+                skip_q, skip_s = saved[ops[i + 1][1]]
+                y = y + skip_q.astype(jnp.float32) * jnp.asarray(
+                    skip_s, jnp.float32)
+                s_out = scales[i + 2]
+                skip_add = True
+            h_q, s = _quant(y, s_out), s_out
+            continue
         if (pallas_blocks and kind == "save"
-                and _pallas_block_match(ops, i, int(h_q.shape[-1]))):
+                and _pallas_block_match(ops, i, int(h_q.shape[-1]))
+                and not any(
+                    ops[i + j][1] in bf16_set for j in (1, 2))):
             from face_vijnana_yolov3_tpu.ops.pallas_block import fused_block_int8
 
             p1 = qparams[f"conv_{ops[i + 1][1]}"]

@@ -75,6 +75,10 @@ def main():
             model_loading=True,
         )
         conf.hps.face_conf_th = 0.5
+        # FVY_QAT_PERC overrides the calibration scheme (e.g. "msegrid" for
+        # the deterministic grid calibrator)
+        conf.int8_calib_percentile = os.environ.get(
+            "FVY_QAT_PERC", conf.int8_calib_percentile)
         if qat_cfg is not None:
             conf.int8_qat_steps = qat_steps
             conf.int8_qat_tail = qat_tail

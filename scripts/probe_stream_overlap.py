@@ -47,7 +47,8 @@ def main():
     from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
     from face_vijnana_yolov3_tpu.data import native_loader
 
-    stats = {"decode_s": 0.0, "fused_s": 0.0, "decode_calls": 0}
+    stats = {"decode_s": 0.0, "fused_s": 0.0, "post_s": 0.0, "csv_s": 0.0,
+             "decode_calls": 0}
 
     real_scaled = native_loader.decode_batch_staged_scaled
 
@@ -59,6 +60,19 @@ def main():
         return out
 
     native_loader.decode_batch_staged_scaled = timed_scaled
+
+    # consumer post-processing: chunk unletterbox + CSV row emission
+    from face_vijnana_yolov3_tpu.api import face_detection as fd_mod
+
+    real_ub = fd_mod.unletterbox_boxes_chunk
+
+    def timed_ub(*a, **k):
+        t0 = time.perf_counter()
+        out = real_ub(*a, **k)
+        stats["post_s"] += time.perf_counter() - t0
+        return out
+
+    fd_mod.unletterbox_boxes_chunk = timed_ub
 
     conf = FdConf(weights_path=os.path.join(work, "missing.weights"))
     conf.test_path = img_dir
@@ -76,6 +90,16 @@ def main():
 
     fd.detect_batch_fused = timed_fused
 
+    real_rows = fd._write_rows
+
+    def timed_rows(*a, **k):
+        t0 = time.perf_counter()
+        out = real_rows(*a, **k)
+        stats["csv_s"] += time.perf_counter() - t0
+        return out
+
+    fd._write_rows = timed_rows
+
     fd.test()  # warm-up: compiles + calibrates
     for k in stats:
         stats[k] = 0
@@ -88,6 +112,8 @@ def main():
     print(f"  decode    {d:6.2f}s   ({stats['decode_calls']} calls; "
           f"{n / d:.1f} img/s ceiling)")
     print(f"  fused     {f:6.2f}s   ({n / f:.1f} img/s ceiling)")
+    print(f"  postproc  {stats['post_s']:6.3f}s  (chunk unletterbox)")
+    print(f"  csv       {stats['csv_s']:6.3f}s  (row emission)")
     print(f"  overlap   {d + f - total:6.2f}s achieved "
           f"(perfect = {min(d, f):.2f}s; other host work = "
           f"{total - max(d, f):.2f}s beyond the slower stage)")

@@ -434,6 +434,60 @@ def test_fi_embed_bf16_int8_front():
     assert np.linalg.norm(e - e_ref, axis=-1).max() < 0.2
 
 
+def test_selective_bf16_ops(trunk_setup):
+    """quantize_folded(bf16_ops=...): named convs run as folded-bf16 islands
+    inside the int8 walk — kernels stay un-quantized for those ops, the
+    program still runs at every fuse_residual setting, the output moves vs
+    full int8 (the island changes arithmetic), and device_put round-trips
+    the index list (the pipeline stores qparams on device)."""
+    m, _params, _state, folded, x = trunk_setup
+    q0 = m.quantize(folded, x)
+    qs = m.quantize(folded, x, bf16_ops=(1, 5, 12))
+    assert qs["bf16_ops"] == [1, 5, 12]
+    assert set(qs["bf16"]) == {"conv_1", "conv_5", "conv_12"}
+    for i in (1, 5, 12):
+        assert f"conv_{i}" not in qs  # not in the int8 set
+    a = np.asarray(m.apply_quant(q0, x))
+    b = np.asarray(m.apply_quant(qs, x))
+    assert not np.array_equal(a, b)  # the islands changed the arithmetic
+    # still close to f32 (the islands can only help)
+    want = np.asarray(m.apply_folded(folded, x, compute_dtype=jnp.float32))
+    assert np.abs(b - want).mean() <= np.abs(a - want).mean() * 1.1
+
+    # device_put round-trip (the pipeline path): indices arrive as 0-d
+    # device arrays and must still resolve
+    qd = jax.device_put(qs)
+    c = np.asarray(m.apply_quant(qd, x))
+    np.testing.assert_array_equal(b, c)
+
+    # unfused path handles islands too
+    o1 = quant.apply_graph_quant(qs, x, m.ops, fuse_residual=False)["trunk"]
+    assert np.isfinite(np.asarray(o1, np.float32)).all()
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        m.quantize(folded, x, bf16_ops=(1,), bias_correct=True)
+
+
+def test_int8_error_profile(trunk_setup):
+    """int8_error_profile returns one finite relative error per int8 conv,
+    and a deliberately poisoned kernel shows up as the top error."""
+    m, _params, _state, folded, x = trunk_setup
+    q = m.quantize(folded, x)
+    prof = quant.int8_error_profile(q, folded, x, m.ops)
+    n_convs = sum(1 for op in m.ops if op[0] == "conv")
+    assert len(prof) == n_convs
+    assert all(np.isfinite(v) and v >= 0 for v in prof.values())
+
+    # poison conv_5's quantized kernel: its own error must dominate
+    q_bad = {k: (dict(v) if isinstance(v, dict) else v)
+             for k, v in q.items()}
+    q_bad["conv_5"]["kernel_q"] = np.clip(
+        q_bad["conv_5"]["kernel_q"].astype(np.int16) * 8, -127, 127
+    ).astype(np.int8)
+    prof_bad = quant.int8_error_profile(q_bad, folded, x, m.ops)
+    assert max(prof_bad, key=lambda i: prof_bad[i]) == 5
+
+
 def test_pipeline_bf16_front_auto(tmp_path, monkeypatch):
     """conf.bf16_f32_front="auto": the pipeline probes guard depths {0,1,2}
     on the first detect batch (detection-level self-check) and builds the
