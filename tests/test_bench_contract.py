@@ -48,7 +48,7 @@ def test_ap_cache_keyed_by_epoch_and_dropped_on_advance(monkeypatch, tmp_path):
 
     def fake_measure(ckpt, valdir, precision):
         calls.append(precision)
-        return 0.5, 0.4
+        return 0.5, 0.4, (1 if precision == "bfloat16" else None)
 
     monkeypatch.setattr(bench, "measure_ap", fake_measure)
     # stale cache from an older checkpoint must be dropped, not served
@@ -57,10 +57,18 @@ def test_ap_cache_keyed_by_epoch_and_dropped_on_advance(monkeypatch, tmp_path):
     assert set(meta["ap_cache"]) == {"60"}
     assert calls == ["float32", "int8", "bfloat16"]
     assert ap["f32_ap50"] == 0.5 and ap["int8_ap50_drift"] == 0.0
+    assert ap["bf16_guard"] == 1  # auto-guard depth recorded with the AP
 
     calls.clear()  # warm invocation: fully served from the cache
     ap2 = bench.measure_aps_cached("ckpt", "val", meta)
     assert calls == [] and ap2["f32_ap50"] == 0.5
+
+    # a bf16 AP cached before the auto-guard era (no bf16_guard) was
+    # measured at hardwired depth 2: re-measure ONLY the bfloat16 pass
+    del meta["ap_cache"]["60"]["bf16_guard"]
+    calls.clear()
+    ap3 = bench.measure_aps_cached("ckpt", "val", meta)
+    assert calls == ["bfloat16"] and ap3["bf16_guard"] == 1
 
 
 def test_ap_passes_budget_gated(monkeypatch, tmp_path):
