@@ -301,16 +301,22 @@ class FaceDetectorPipeline:
 
         folded = self.model.fold(self.params, self.state)
         x = jnp.asarray(np.asarray(images)[:32], jnp.float32)
-        ref = np.asarray(
-            self.model.apply_folded(folded, x, compute_dtype=jnp.float32)
-        )
+        # Candidates MUST run JITTED: under jit XLA elides f32<->bf16
+        # convert pairs into the surrounding fusions, so an eager probe is
+        # a DIFFERENT numeric program than the served one — measured on the
+        # bench checkpoint, eager guard-0 scored box-F1 err 0.0000 while
+        # the jitted serving program lost boxes on 21/151 val images
+        # (AP50 0.8201 -> 0.7173). Verify-notes bf16 gotcha.
+        ref = np.asarray(jax.jit(
+            lambda w, xi: self.model.apply_folded(
+                w, xi, compute_dtype=jnp.float32))(folded, x))
         scorer = detection_box_f1_scorer(self._pp_cfg)
         depth, err = 2, None
         for cand in (0, 1, 2):
-            head = np.asarray(self.model.apply_folded(
-                folded, x, compute_dtype=jnp.bfloat16,
-                f32_front_blocks=cand,
-            ))
+            head = np.asarray(jax.jit(
+                lambda w, xi, c=cand: self.model.apply_folded(
+                    w, xi, compute_dtype=jnp.bfloat16, f32_front_blocks=c)
+            )(folded, x))
             err = scorer(ref, head)
             if err <= threshold:
                 depth = cand

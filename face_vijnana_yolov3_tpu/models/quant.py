@@ -821,7 +821,7 @@ def quantize_autotail(
     *,
     percentile: float | str | None = None,
     bias_correct: bool = False,
-    tails: tuple = (0, 2, 4, 8),
+    tails: tuple = (0, 2, 4, 5, 6, 8),
     rel_threshold: float = 0.05,
     improve_factor: float = 0.7,
     scorer=None,
@@ -846,6 +846,19 @@ def quantize_autotail(
     round-3 400-epoch checkpoint needed tail8 (tails 1-4 were flat at AP50
     ~0.74 and tail8 jumped to 0.8628 ≥ f32 — the outliers sat in stage-4's
     late blocks, not stage-5; probe_precision_ap tables in STATUS.md).
+    Round 4 added tails 5 and 6 between them: on the bench checkpoint the
+    full measured frontier (scripts/probe_int8_mix.py, auto scales,
+    held-out AP50 / b1024 throughput) is tail4 0.7136, tail5 0.8445
+    (= f32, 3698 img/s), tail6 0.8537 (3631), tail8 0.8232-0.8354 (3478)
+    — the box-F1 errs step 0.1685 (tails ≤4) → 0.0800 (5/6) → 0.0891 (8),
+    so the improve_factor margin lands on tail5, the cheapest config at
+    f32-parity AP. Full int8 remains accuracy-blocked on this checkpoint:
+    requant error ACCUMULATES (~0.4 relative by mid-trunk,
+    int8_error_profile) rather than concentrating in nameable layers —
+    msegrid grid search (0.6677), top-k bf16 islands (0.732 plateau), and
+    300-600-step distillation QAT (0.64-0.65) all fail to recover tail-0
+    AP, while bf16-ing the last 5 blocks does. The 4265 img/s tail-0
+    number is measured and real, but nothing so far makes it accurate.
 
     scorer: optional callable (ref_head_batch, cand_head_batch) -> err in
     [0, 1]. Default is global head NRMSE, which is a WEAK proxy for task

@@ -9,7 +9,8 @@ most of tail8's recovery comes from that one conv at a fraction of its
 throughput cost.
 
 Usage: python scripts/probe_int8_mix.py [workdir] cfg ...
-       cfg syntax: "<tail>[+op,op,...]", e.g. "4+62"  "2+62"  "0+62"  "8"
+       cfg syntax: "<tail>[+op,op,...][@percentile]", e.g. "4+62"  "8@auto"
+       (percentile defaults to msegrid)
        default sweep: 4+62 2+62 0+62
 """
 
@@ -41,7 +42,9 @@ def main():
 
     results = {}
     for cfg in cfgs:
-        tail_s, _, ops_s = cfg.partition("+")
+        body, _, perc = cfg.partition("@")
+        perc = perc or "msegrid"
+        tail_s, _, ops_s = body.partition("+")
         tail = int(tail_s)
         ops = tuple(int(o) for o in ops_s.split(",")) if ops_s else ()
         sol = os.path.join(workdir, "solution_mix.csv")
@@ -53,7 +56,8 @@ def main():
         conf.int8_tail_auto = False
         conf.int8_bf16_tail = tail
         conf.int8_bf16_ops = ops
-        conf.int8_calib_percentile = "msegrid"
+        conf.int8_calib_percentile = (
+            0.0 if perc == "maxabs" else perc)
         t0 = time.monotonic()
         fd = FaceDetectorPipeline(conf, precision="int8")
         fd.test()

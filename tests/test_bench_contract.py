@@ -48,7 +48,8 @@ def test_ap_cache_keyed_by_epoch_and_dropped_on_advance(monkeypatch, tmp_path):
 
     def fake_measure(ckpt, valdir, precision):
         calls.append(precision)
-        return 0.5, 0.4, (1 if precision == "bfloat16" else None)
+        extra = {"bf16_guard": 1} if precision == "bfloat16" else {}
+        return 0.5, 0.4, extra
 
     monkeypatch.setattr(bench, "measure_ap", fake_measure)
     # stale cache from an older checkpoint must be dropped, not served
@@ -63,12 +64,14 @@ def test_ap_cache_keyed_by_epoch_and_dropped_on_advance(monkeypatch, tmp_path):
     ap2 = bench.measure_aps_cached("ckpt", "val", meta)
     assert calls == [] and ap2["f32_ap50"] == 0.5
 
-    # a bf16 AP cached before the auto-guard era (no bf16_guard) was
-    # measured at hardwired depth 2: re-measure ONLY the bfloat16 pass
-    del meta["ap_cache"]["60"]["bf16_guard"]
+    # an AP cached under an older calibration recipe (autotail ladder /
+    # guard selection) re-measures its reduced-precision rows; the
+    # calibration-independent f32 row is kept
+    meta["ap_cache"]["60"]["calib_ver"] = -1
     calls.clear()
     ap3 = bench.measure_aps_cached("ckpt", "val", meta)
-    assert calls == ["bfloat16"] and ap3["bf16_guard"] == 1
+    assert calls == ["int8", "bfloat16"] and ap3["bf16_guard"] == 1
+    assert meta["ap_cache"]["60"]["calib_ver"] == bench.CALIB_VER
 
 
 def test_ap_passes_budget_gated(monkeypatch, tmp_path):
