@@ -94,11 +94,14 @@ class FdConf:
     # Calibration SELF-CHECK (models/quant.quantize_autotail, default on):
     # when int8_bf16_tail is 0 and no QAT, verify the freshly calibrated
     # int8 program against the folded-f32 head on the calibration batch and
-    # escalate the bf16 tail (0→2→4) only if the relative head error
-    # exceeds the threshold. int8 PTQ is checkpoint-dependent — the same
-    # auto calibration measured AP50 drift -0.02 on one bench checkpoint
-    # and -0.34 on another; a silent collapse is worse than the tail's ~9%
-    # throughput tax. Costs one extra forward on healthy checkpoints.
+    # escalate the bf16 tail (0→2→4→5→6→8) only while escalation decisively
+    # improves the detection-level error. int8 PTQ is checkpoint-dependent —
+    # the same auto calibration measured AP50 drift -0.02 on one bench
+    # checkpoint and -0.34 on another; a silent collapse is worse than the
+    # tail's throughput tax. On the round-4 bench checkpoint the ladder
+    # lands on tail5 (= f32 AP at 3699 img/s b1024; quantize_autotail
+    # docstring has the measured frontier). Costs one extra forward on
+    # healthy checkpoints.
     int8_tail_auto: bool = True
     # bf16 serving: run the first N trunk segments (1 = conv_0/1, 2 = + first
     # residual block) in f32. Trained checkpoints amplify bf16 input rounding

@@ -624,19 +624,19 @@ def test_quantize_autotail_selection_logic():
             return np.ones((2, 4), np.float32) + self.errs[q["tail"]]
 
     # Healthy: error under threshold -> full int8, single candidate tried.
-    m = FakeModel({0: 0.01, 2: 0.01, 4: 0.01, 8: 0.01})
+    m = FakeModel({0: 0.01, 2: 0.01, 4: 0.01, 5: 0.01, 6: 0.01, 8: 0.01})
     q, tail, err = quantize_autotail(m, None, None)
     assert tail == 0 and m.quantize_calls == [0]
     assert err == pytest.approx(0.01, rel=1e-3)
 
     # Collapsed full-int8, tail recovers: escalates to the first tail under
     # threshold.
-    m = FakeModel({0: 0.5, 2: 0.3, 4: 0.05, 8: 0.05})
+    m = FakeModel({0: 0.5, 2: 0.3, 4: 0.05, 5: 0.2, 6: 0.2, 8: 0.2})
     q, tail, err = quantize_autotail(m, None, None)
     assert tail == 4 and err == pytest.approx(0.05, rel=1e-3)
 
     # Nothing helps enough: keeps full int8 (no pointless tail tax).
-    m = FakeModel({0: 0.5, 2: 0.45, 4: 0.48, 8: 0.47})
+    m = FakeModel({0: 0.5, 2: 0.45, 4: 0.48, 5: 0.47, 6: 0.46, 8: 0.47})
     q, tail, err = quantize_autotail(m, None, None)
     assert tail == 0 and err == pytest.approx(0.5, rel=1e-3)
 
@@ -644,9 +644,16 @@ def test_quantize_autotail_selection_logic():
     # improvement over the (failing) best — ADVICE r3: the old rule
     # discarded the passing tail2 (0.045 vs 0.06*0.7=0.042) and served the
     # over-threshold tail0, which export_cli then needlessly rejected.
-    m = FakeModel({0: 0.06, 2: 0.045, 4: 0.05, 8: 0.05})
+    m = FakeModel({0: 0.06, 2: 0.045, 4: 0.05, 5: 0.05, 6: 0.05, 8: 0.05})
     q, tail, err = quantize_autotail(m, None, None)
     assert tail == 2 and err == pytest.approx(0.045, rel=1e-3)
+
+    # The bench-checkpoint shape (round-4 frontier): everything over
+    # threshold, tails 5/6/8 cluster far below 0/2/4 — the margin picks
+    # the CHEAPEST of the cluster (tail5), not the deepest.
+    m = FakeModel({0: 0.17, 2: 0.17, 4: 0.17, 5: 0.08, 6: 0.08, 8: 0.09})
+    q, tail, err = quantize_autotail(m, None, None)
+    assert tail == 5 and err == pytest.approx(0.08, rel=1e-3)
 
 
 def test_detection_box_f1_scorer():
