@@ -66,7 +66,9 @@ N_TRAIN, N_VAL = 640, 160
 # Version of the serving-default calibration recipe (autotail ladder, guard
 # selection). Cached reduced-precision APs from another version re-measure.
 # v3: jitted bf16 guard probe (eager probe false-accepted guard 0).
-CALIB_VER = 3
+# v4: scorer-inconclusive handling (a zero-detection NRMSE fallback no longer
+#     narrows the guard — ADVICE r4) + distinct tp/ap guard keys.
+CALIB_VER = 4
 
 # --- wall-clock budget ------------------------------------------------------
 BUDGET_S = float(os.environ.get("FVY_BENCH_BUDGET_S", "900"))
@@ -224,8 +226,11 @@ def measure_ap(ckpt, valdir, precision):
     fd = FaceDetectorPipeline(conf, precision=precision)
     fd.test()
     extra = {}
+    # Distinct key from the throughput stage's probe (bench main): the two
+    # probes run on different batches and may disagree — the JSON must not
+    # report one stage's guard depth as the other's configuration (ADVICE r4).
     if getattr(fd, "bf16_front_chosen", None) is not None:
-        extra["bf16_guard"] = fd.bf16_front_chosen
+        extra["bf16_guard_ap"] = fd.bf16_front_chosen
     if getattr(fd, "int8_tail_chosen", None) is not None:
         extra["int8_tail_ap"] = fd.int8_tail_chosen
     if os.path.getsize(sol) == 0:
@@ -249,7 +254,7 @@ def measure_aps_cached(ckpt, valdir, meta):
     # f32 row (calibration-independent) survives.
     if ap.get("calib_ver") != CALIB_VER:
         for k in ("int8_ap50", "int8_map", "int8_ap50_drift", "int8_tail_ap",
-                  "bf16_ap50", "bf16_guard"):
+                  "bf16_ap50", "bf16_guard", "bf16_guard_ap"):
             ap.pop(k, None)
         ap["calib_ver"] = CALIB_VER
     for precision, fields in (
@@ -274,6 +279,31 @@ def measure_aps_cached(ckpt, valdir, meta):
     if "f32_ap50" in ap and "int8_ap50" in ap:
         ap["int8_ap50_drift"] = round(ap["int8_ap50"] - ap["f32_ap50"], 4)
     return {k: v for k, v in ap.items() if k != "calib_ver"}
+
+
+def detector_flops_per_image(image_size=416):
+    """MAC-based FLOPs (2·H·W·k²·Cin·Cout) of one detector forward at 416².
+
+    Feeds the driver-visible MFU fields: utilization = measured img/s ×
+    FLOPs/img ÷ chip peak (v5e: 197 TFLOP/s bf16, 394 TOPS int8 — the
+    PROFILE.md roofline constants), so the utilization story is
+    machine-checkable per round (VERDICT r4 #7). Elementwise epilogues and
+    the fused postprocess (~1.6% of the program, PROFILE.md) are excluded —
+    this is the conv/MXU number, same convention as the roofline.
+    """
+    from face_vijnana_yolov3_tpu.models.darknet import conv_layout, trunk_graph
+
+    fl = 0
+    hw = image_size
+    for _idx, in_c, out_c, k, stride, _bn in conv_layout(trunk_graph()):
+        hw //= stride
+        fl += 2 * hw * hw * k * k * in_c * out_c
+    fl += 2 * (image_size // 32) ** 2 * 3 * 3 * 1024 * 6  # linear head conv
+    return fl
+
+
+V5E_PEAK_BF16 = 197e12
+V5E_PEAK_INT8 = 394e12
 
 
 def measure_train_throughput(model, params, state):
@@ -307,7 +337,12 @@ def measure_train_throughput(model, params, state):
             pred, new_state = model.apply(
                 p, state, images, train=True, compute_dtype=jnp.bfloat16
             )
-            return jnp.mean(jnp.square(pred - gts)), new_state
+            # EXACT trainer loss (train/trainer.py step_fn): weighted MSE
+            # with all-ones weights — so the driver-visible train_img_s
+            # times precisely the step the trainer runs (ADVICE r4).
+            per = jnp.mean(jnp.square(pred - gts), axis=(1, 2, 3))
+            weights = jnp.ones((per.shape[0],), jnp.float32)
+            return jnp.sum(per * weights) / jnp.sum(weights), new_state
 
         (loss, new_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -441,6 +476,11 @@ def main():
                 w, xi, compute_dtype=jnp.bfloat16, f32_front_blocks=c)
         )(folded, x_calib))
         bf16_front_err = bf16_scorer(ref_head, head_c)
+        if getattr(bf16_scorer, "inconclusive", False):
+            # zero f32 detections on the calibration batch (random-weights
+            # fallback): an NRMSE pass must not REMOVE the guard (ADVICE r4)
+            bf16_front = 2
+            break
         if bf16_front_err <= SELFCHECK_THRESHOLD:
             bf16_front = depth_c
             break
@@ -553,6 +593,27 @@ def main():
             _log(f"train throughput stage failed: {e}")
     else:
         _log("skipping train throughput: insufficient budget")
+
+    # Derived MFU (VERDICT r4 #7): forward = conv FLOPs/img vs the chip peak
+    # of the path's dtype; train = 3x forward (fwd+dgrad+wgrad, the roofline
+    # convention) vs bf16 peak. The int8 figure charges the whole program to
+    # the int8 peak even when a bf16 tail serves part of it — a conservative
+    # (lower-bound) utilization.
+    flops_img = detector_flops_per_image()
+    int8_best = max((v for k, v in out_extra.items()
+                     if k.startswith("int8_b")), default=0.0)
+    if int8_best:
+        out_extra["int8_mfu"] = round(int8_best * flops_img / V5E_PEAK_INT8, 4)
+    if "bf16_b128_img_s" in out_extra:
+        out_extra["bf16_mfu"] = round(
+            out_extra["bf16_b128_img_s"] * flops_img / V5E_PEAK_BF16, 4)
+    if "train_img_s" in out_extra:
+        out_extra["train_mfu"] = round(
+            out_extra["train_img_s"] * 3 * flops_img / V5E_PEAK_BF16, 4)
+    if ("bf16_guard_ap" in ap and ap["bf16_guard_ap"] != bf16_front):
+        _log(f"NOTE: bf16 guard depth differs between the AP pass "
+             f"({ap['bf16_guard_ap']}) and the throughput stage "
+             f"({bf16_front}) — probes ran on different batches")
 
     out = {
         "metric": f"416^2 images/sec/chip (detect+NMS fused, {best_path} PTQ)"

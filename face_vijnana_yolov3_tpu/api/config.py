@@ -103,6 +103,12 @@ class FdConf:
     # docstring has the measured frontier). Costs one extra forward on
     # healthy checkpoints.
     int8_tail_auto: bool = True
+    # Quantization-aware training (darknet.apply_graph fakequant): the train
+    # forward carries int8 fake-quant noise (STE) at the serving requant
+    # positions, so the resulting checkpoint's PTQ int8 path needs little or
+    # no bf16 tail. Off by default — reference parity trains plain f32
+    # (src/space/face_detection.py:381); the bench recipe turns it on.
+    train_qat: bool = False
     # bf16 serving: run the first N trunk segments (1 = conv_0/1, 2 = + first
     # residual block) in f32. Trained checkpoints amplify bf16 input rounding
     # in exactly those layers on rare images (degenerate ~1.0-score boxes,

@@ -294,13 +294,30 @@ class FaceDetectorPipeline:
         `images` is a (N, S, S, 3) letterboxed float batch (16-32 images).
         Returns (depth, err) and pins the choice for every subsequent
         detect program (conf.bf16_f32_front == "auto" consumers).
+
+        Deferral rules (ADVICE r4): narrowing an accuracy guard needs real
+        detection-level evidence, so the probe DEFERS — serves the
+        conservative depth 2 without pinning, letting a later batch re-probe
+        — when (a) the batch has fewer than 16 images (a single-image
+        detect() call is not a representative probe; the probe is skipped
+        outright, costing nothing), or (b) the scorer fell back to head
+        NRMSE because the f32 reference found zero detections (bf16 rounding
+        passes NRMSE trivially — a vacuous pass must not remove the guard;
+        it is exactly what the documented depth-0 failure mode, boxes lost
+        on 21/151 val images, looks like). After 3 inconclusive probes the
+        choice pins to depth 2 so pathological streams don't re-pay the
+        probe forever.
         """
         from face_vijnana_yolov3_tpu.models.quant import (
             detection_box_f1_scorer,
         )
 
+        x_np = np.asarray(images)
+        if x_np.shape[0] < 16:
+            # too small to certify a guard removal — serve depth 2, unpinned
+            return 2, None
         folded = self.model.fold(self.params, self.state)
-        x = jnp.asarray(np.asarray(images)[:32], jnp.float32)
+        x = jnp.asarray(x_np[:32], jnp.float32)
         # Candidates MUST run JITTED: under jit XLA elides f32<->bf16
         # convert pairs into the surrounding fusions, so an eager probe is
         # a DIFFERENT numeric program than the served one — measured on the
@@ -312,17 +329,27 @@ class FaceDetectorPipeline:
                 w, xi, compute_dtype=jnp.float32))(folded, x))
         scorer = detection_box_f1_scorer(self._pp_cfg)
         depth, err = 2, None
+        inconclusive = False
         for cand in (0, 1, 2):
             head = np.asarray(jax.jit(
                 lambda w, xi, c=cand: self.model.apply_folded(
                     w, xi, compute_dtype=jnp.bfloat16, f32_front_blocks=c)
             )(folded, x))
             err = scorer(ref, head)
+            inconclusive = bool(getattr(scorer, "inconclusive", False))
+            if inconclusive:
+                break  # no detection-level evidence on this batch at all
             if err <= threshold:
                 depth = cand
                 break
         else:
             depth = 2
+        if inconclusive:
+            self._bf16_probe_attempts = getattr(
+                self, "_bf16_probe_attempts", 0) + 1
+            if self._bf16_probe_attempts < 3:
+                return 2, None  # defer: serve depth 2 unpinned, re-probe later
+            depth = 2  # give up narrowing; pin the conservative guard
         self.bf16_front_chosen = depth
         self.bf16_front_err = err
         if depth != 2:
@@ -465,6 +492,7 @@ class FaceDetectorPipeline:
                 jnp.bfloat16 if self.precision == "bfloat16" else None
             ),
             checkpoint_every=getattr(self.conf, "checkpoint_every", 0),
+            fakequant=getattr(self.conf, "train_qat", False),
         )
         print("Save the model.")
         if keras_h5:

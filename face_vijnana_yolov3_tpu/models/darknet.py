@@ -249,6 +249,62 @@ def _bn_train_norm_bwd(res, cts):
 _bn_train_norm.defvjp(_bn_train_norm_fwd, _bn_train_norm_bwd)
 
 
+# ------------------------------------------------------------------ QAT fake-quant
+
+def _act_fq(h):
+    """Per-channel int8 activation fake-quant with a straight-through gradient.
+
+    Training-time twin of the serving requant (quant._quant): scale =
+    per-channel batch maxabs/127 (stop-gradient — the online analog of the
+    maxabs-family calibration quantize_folded deploys), value = s*round(h/s)
+    clipped to +-127. Returns (fake-quantized f32 value, (C,) scale).
+    """
+    hf = h.astype(jnp.float32)
+    s = jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(jnp.abs(hf), axis=tuple(range(hf.ndim - 1))),
+                    1e-6) / 127.0
+    )
+    q = jnp.clip(jnp.round(hf / s), -127.0, 127.0) * s
+    return hf + jax.lax.stop_gradient(q - hf), s
+
+
+def _weight_fq(kernel, s_in):
+    """Per-out-channel int8 weight fake-quant matching quantize_folded.
+
+    Serving quantizes the FOLDED kernel k*bn_scale[out]*s_in[in] at
+    per-out-channel maxabs/127 (quant.quantize_folded). Per-OUT-channel
+    scaling commutes with per-out-channel symmetric quantization (the scale
+    absorbs |bn_scale| exactly, round is odd-symmetric), so fake-quantizing
+    the UNfolded kernel with only the input scales folded produces the same
+    relative error pattern the deployed int8 kernel has — the live-BN
+    training forward sees serving's weight noise without folding BN.
+    STE gradient; s_in of None (input position never requantized) degrades
+    to plain per-out-channel quantization.
+    """
+    k = kernel.astype(jnp.float32)
+    k_eff = k * s_in[None, None, :, None] if s_in is not None else k
+    w_scale = jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(jnp.abs(k_eff), axis=(0, 1, 2)), 1e-8) / 127.0
+    )
+    q = jnp.clip(jnp.round(k_eff / w_scale), -127.0, 127.0) * w_scale
+    k_fq = k_eff + jax.lax.stop_gradient(q - k_eff)
+    return k_fq / s_in[None, None, :, None] if s_in is not None else k_fq
+
+
+def fakequant_skip_ops(ops: list[tuple]) -> set[int]:
+    """Op indices whose activation requant is deferred (fused-residual rule).
+
+    Mirrors quant.apply_graph_quant(fuse_residual=True) / qat.
+    apply_graph_fakequant: a conv immediately followed by an "add" skips its
+    own requant — the skip adds in f32 and ONE requant lands after the add —
+    so the training-time rounding count equals serving's.
+    """
+    return {
+        i for i, op in enumerate(ops)
+        if op[0] == "conv" and i + 1 < len(ops) and ops[i + 1][0] == "add"
+    }
+
+
 # ------------------------------------------------------------------ forward
 
 def _conv2d(x, kernel, stride, k, compute_dtype, precision_override=None):
@@ -313,6 +369,7 @@ def apply_graph(
     remat: bool | int = False,
     bn_momentum: float | None = None,
     bn_custom_vjp: bool = False,
+    fakequant: bool = False,
 ):
     """Interpret the graph. Returns (outputs, new_state).
 
@@ -320,6 +377,19 @@ def apply_graph(
     BatchNorm normalizes by batch statistics and new_state carries the updated
     moving averages (Keras momentum-0.99 rule); with train=False the moving stats
     are used and new_state is state unchanged.
+
+    fakequant=True runs quantization-aware training: int8 fake-quant (STE)
+    of every activation at the serving requant positions (input, post-
+    conv/BN/leaky, post-add/concat, fused-residual rule — fakequant_skip_ops)
+    and of every conv kernel with the input scales folded (_weight_fq), so
+    the training forward carries exactly the noise structure the deployed
+    int8 program has (modulo batch-vs-moving BN statistics). Motivation:
+    post-training int8 on this architecture accumulates requant error
+    through the trunk on brittle checkpoints (PROFILE.md round-4 tables —
+    calibration grids, bf16 islands, and post-hoc distillation all measured
+    insufficient); training against the noise is the remaining lever. No
+    reference counterpart (the reference serves f32 Keras predict,
+    src/space/face_detection.py:899).
 
     remat=True wraps each residual-block segment in jax.checkpoint: backward-pass
     memory drops from O(all activations) to O(segment boundaries), recomputing
@@ -338,10 +408,17 @@ def apply_graph(
 
         def make_seg(seg_ops, use_ckpt):
             def seg_fn(h, params, state):
+                # fakequant crosses segment boundaries cleanly: the segment
+                # input is already on the int8 grid of its true scale s, so
+                # the sub-call's input fake-quant recomputes s (maxabs of
+                # the quantized value = 127*s) and re-rounding is idempotent
+                # in f32 (on a bf16 compute path the inter-segment cast adds
+                # one bf16 rounding — noise well under the int8 grid step).
                 outs, st = apply_graph(
                     params, state, h, seg_ops + [("output", "__h")],
                     train=train, compute_dtype=compute_dtype, remat=False,
                     bn_momentum=bn_momentum, bn_custom_vjp=bn_custom_vjp,
+                    fakequant=fakequant,
                 )
                 return outs["__h"].astype(compute_dtype), st
 
@@ -366,15 +443,22 @@ def apply_graph(
         return outputs, new_state
 
     saved: dict[str, jnp.ndarray] = {}
+    saved_scale: dict[str, jnp.ndarray | None] = {}
     outputs: dict[str, jnp.ndarray] = {}
     new_state = dict(state)
     h = x
-    for op in ops:
+    fq_scale = None
+    fq_skip = fakequant_skip_ops(ops) if fakequant else set()
+    if fakequant:
+        h, fq_scale = _act_fq(h)
+    for i, op in enumerate(ops):
         kind = op[0]
         if kind == "conv":
             _, idx, _out_c, k, stride, bn, leaky = op
             p = params[f"conv_{idx}"]
-            h = _conv2d(h, p["kernel"], stride, k, compute_dtype)
+            kernel = (_weight_fq(p["kernel"], fq_scale) if fakequant
+                      else p["kernel"])
+            h = _conv2d(h, kernel, stride, k, compute_dtype)
             if bn:
                 bp = params[f"bnorm_{idx}"]
                 bs = state[f"bnorm_{idx}"]
@@ -417,15 +501,25 @@ def apply_graph(
                 h = h + p["bias"]
             if leaky:
                 h = jnp.where(h > 0, h, LEAKY_ALPHA * h)
+            if fakequant and i not in fq_skip:
+                h, fq_scale = _act_fq(h)
             h = h.astype(compute_dtype)
         elif kind in ("save", "mark"):
             saved[op[1]] = h
+            saved_scale[op[1]] = fq_scale
         elif kind == "add":
             h = saved[op[1]] + h
+            if fakequant:
+                h, fq_scale = _act_fq(h)
+                h = h.astype(compute_dtype)
         elif kind == "restore":
             h = saved[op[1]]
+            fq_scale = saved_scale.get(op[1])
         elif kind == "concat":
             h = jnp.concatenate([h, saved[op[1]]], axis=-1)
+            if fakequant:
+                h, fq_scale = _act_fq(h)
+                h = h.astype(compute_dtype)
         elif kind == "upsample":
             b, hh, ww, c = h.shape
             h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)

@@ -83,11 +83,18 @@ class FaceDetectorModel:
 
     def apply(self, params, state, x, *, train: bool = False,
               compute_dtype=jnp.float32, remat: bool = False,
-              bn_momentum=None):
-        """Returns ((B,13,13,6) head output, new_state)."""
+              bn_momentum=None, fakequant: bool = False):
+        """Returns ((B,13,13,6) head output, new_state).
+
+        fakequant=True trains quantization-aware (darknet.apply_graph): the
+        trunk carries int8 fake-quant noise at the serving requant positions;
+        the head conv stays full-precision exactly like the deployed int8
+        program (apply_quant serves a bf16 head on dequantized trunk
+        features)."""
         outs, new_state = darknet.apply_graph(
             params, state, x, self.ops, train=train,
             compute_dtype=compute_dtype, remat=remat, bn_momentum=bn_momentum,
+            fakequant=fakequant,
         )
         feat = outs["trunk"].astype(compute_dtype)
         return _head_conv(feat, params["head"], compute_dtype), new_state

@@ -546,7 +546,19 @@ def int8_error_profile(qparams, folded_params, x, ops: list[tuple]):
     from face_vijnana_yolov3_tpu.models.darknet import _conv2d
 
     scales = qparams["act_scales"]
-    n_ops = qparams.get("tail_start") or len(ops)
+    # Explicit None check: a tail_start of 0 is a real (degenerate) value and
+    # must not be misread as "no tail" (ADVICE r4).
+    tail_start = qparams.get("tail_start")
+    n_ops = len(ops) if tail_start is None else tail_start
+    # bf16-island convs (quantize_folded bf16_ops) carry no per-conv int8
+    # entries — they live under qparams["bf16"]. The profile dequant-walks
+    # them at their deployed (folded, full-precision-equivalent) numerics and
+    # records no error row: they are already mitigated layers, not
+    # localization candidates (ADVICE r4).
+    island = {
+        op[1] for op in ops[:n_ops]
+        if op[0] == "conv" and f"conv_{op[1]}" not in qparams
+    }
 
     def walk(x):
         errs = []
@@ -563,10 +575,15 @@ def int8_error_profile(qparams, folded_params, x, ops: list[tuple]):
                 continue
             if kind == "conv":
                 _, idx, _out_c, k, stride, _bn, leaky = op
-                qp = qparams[f"conv_{idx}"]
                 fp = folded_params[f"conv_{idx}"]
-                y_q = (_conv_int8(h_q, qp["kernel_q"], stride, k)
-                       .astype(jnp.float32) * qp["w_scale"] + qp["bias"])
+                if idx in island:
+                    y_q = (_conv2d(
+                        h_q.astype(jnp.float32) * jnp.asarray(s, jnp.float32),
+                        fp["kernel"], stride, k, jnp.float32) + fp["bias"])
+                else:
+                    qp = qparams[f"conv_{idx}"]
+                    y_q = (_conv_int8(h_q, qp["kernel_q"], stride, k)
+                           .astype(jnp.float32) * qp["w_scale"] + qp["bias"])
                 y_f = (_conv2d(h_f, fp["kernel"], stride, k, jnp.float32)
                        + fp["bias"])
                 if leaky:
@@ -579,9 +596,10 @@ def int8_error_profile(qparams, folded_params, x, ops: list[tuple]):
                     y_f = y_f + sf
                     s_out = scales[i + 2]
                     skip_add = True
-                errs.append(jnp.sqrt(
-                    jnp.mean(jnp.square(y_q - y_f))
-                    / (jnp.mean(jnp.square(y_f)) + 1e-12)))
+                if idx not in island:
+                    errs.append(jnp.sqrt(
+                        jnp.mean(jnp.square(y_q - y_f))
+                        / (jnp.mean(jnp.square(y_f)) + 1e-12)))
                 h_q, s = _quant(y_q, s_out), s_out
                 h_f = y_f
             elif kind in ("save", "mark"):
@@ -611,11 +629,13 @@ def int8_error_profile(qparams, folded_params, x, ops: list[tuple]):
                 raise ValueError(f"unknown op {op}")
         return jnp.stack(errs)
 
+    if not any(op[0] == "conv" and op[1] not in island for op in ops[:n_ops]):
+        return {}  # nothing int8 to profile (e.g. tail_start == 0)
     flat = np.asarray(jax.jit(walk)(jnp.asarray(x)), np.float64)
     out = {}
     j = 0
     for op in ops[:n_ops]:
-        if op[0] == "conv":
+        if op[0] == "conv" and op[1] not in island:
             out[op[1]] = float(flat[j])
             j += 1
     assert j == flat.size
@@ -944,12 +964,21 @@ def detection_box_f1_scorer(pp_cfg):
         return np.asarray(cands), np.asarray(counts)
 
     def scorer(ref_head, cand_head):
+        scorer.inconclusive = False
         rc, rn = boxes_of(ref_head)
         cc, cn = boxes_of(cand_head)
         matched = 0
         total_ref = int(rn.sum())
         total_cand = int(cn.sum())
         if total_ref == 0:
+            # Flag the fallback so callers can tell a detection-level PASS
+            # from a merely-NRMSE pass. Directionality matters: for tail
+            # ESCALATION (quantize_autotail) NRMSE is conservative — high
+            # err escalates — but for guard NARROWING
+            # (autoselect_bf16_front) a vacuous NRMSE pass would REMOVE an
+            # accuracy guard with no detection-level evidence (ADVICE r4);
+            # narrowing callers must treat inconclusive as a failure.
+            scorer.inconclusive = True
             # A reference pass that detects NOTHING on the calibration batch
             # (unrepresentative images, or random weights) cannot certify a
             # quantization config — returning 0.0 would vacuously pass the
@@ -984,4 +1013,5 @@ def detection_box_f1_scorer(pp_cfg):
         f1 = 2.0 * matched / (total_ref + total_cand)
         return 1.0 - f1
 
+    scorer.inconclusive = False
     return scorer

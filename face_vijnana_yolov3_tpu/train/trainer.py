@@ -61,8 +61,16 @@ def train_detector(
     compute_dtype=None,
     checkpoint_every: int = 0,
     device_data: bool | None = None,
+    fakequant: bool = False,
 ):
     """Train the face detector; returns (params, state, losses).
+
+    fakequant: quantization-aware training — the forward carries int8
+    fake-quant noise at the serving requant positions (STE gradients,
+    darknet.apply_graph fakequant). Produces checkpoints whose PTQ int8
+    serving path needs little or no bf16 tail (models/quant.quantize_autotail
+    picks the tail by measurement either way). Off by default: reference
+    parity trains plain f32 (reference src/space/face_detection.py:381).
 
     device_data: keep the WHOLE training set resident in device HBM, stacked
     (steps, batch, ...), and run each epoch as ONE jitted lax.scan over steps —
@@ -111,7 +119,8 @@ def train_detector(
     def step_fn(params, state, opt_state, images, gts, weights):
         def loss_fn(p):
             pred, new_state = model.apply(
-                p, state, images, train=True, compute_dtype=dtype
+                p, state, images, train=True, compute_dtype=dtype,
+                fakequant=fakequant,
             )
             # Weighted MSE so shard-padding rows are inert; with all-ones weights
             # this is exactly Keras loss='mse'.

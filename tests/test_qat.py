@@ -205,3 +205,174 @@ def test_qat_and_bf16_tail_mutually_exclusive():
     )
     with pytest.raises(ValueError, match="mutually exclusive"):
         pipe.calibrate_int8(imgs)
+
+
+# ----------------------------------------------------- training-time fakequant
+# (darknet.apply_graph(fakequant=True) — QAT during training, round 5)
+
+
+def test_act_fq_ste_and_idempotent():
+    h = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 4, 8), jnp.float32)
+    fq, s = darknet._act_fq(h)
+    assert s.shape == (8,)
+    # idempotent: values already on the grid re-round to themselves and the
+    # recomputed scale is identical (max element sits at exactly 127*s)
+    fq2, s2 = darknet._act_fq(fq)
+    np.testing.assert_array_equal(np.asarray(fq), np.asarray(fq2))
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(s2))
+    # straight-through: d/dh sum(fq(h)) == 1 everywhere (scale stop-gradded,
+    # no element clips since the scale is derived from the batch max)
+    g = jax.grad(lambda x: jnp.sum(darknet._act_fq(x)[0]))(h)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_weight_fq_commutes_with_out_channel_scale():
+    """Per-out-channel scaling (= BN fold) commutes with the weight fake-quant:
+    quantizing the unfolded kernel sees exactly the relative error pattern the
+    deployed folded int8 kernel has (darknet._weight_fq docstring)."""
+    k = jax.random.normal(jax.random.PRNGKey(4), (3, 3, 4, 6), jnp.float32)
+    s_in = jnp.abs(jax.random.normal(jax.random.PRNGKey(5), (4,))) + 0.1
+    c = jnp.asarray([0.5, -2.0, 1.0, 3.0, -0.25, 10.0], jnp.float32)
+    a = darknet._weight_fq(k * c[None, None, None, :], s_in)
+    b = darknet._weight_fq(k, s_in) * c[None, None, None, :]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-7)
+
+
+def test_train_fakequant_forward_close_not_equal(tiny_setup):
+    """Eval-mode fakequant forward carries int8-grid noise: close to the f32
+    forward (the whole point of QAT is that this noise is small) but not
+    bit-equal (the noise must actually be injected)."""
+    ops, _folded, x = tiny_setup
+    params, state = darknet.init_graph_params(ops, jax.random.PRNGKey(7))
+    for k, v in params.items():
+        if k.startswith("bnorm_"):
+            v["gamma"] = v["gamma"] + 0.7
+    ref, _ = darknet.apply_graph(params, state, x, ops, train=False)
+    fq, _ = darknet.apply_graph(params, state, x, ops, train=False,
+                                fakequant=True)
+    a, b = np.asarray(ref["out"]), np.asarray(fq["out"])
+    assert not np.array_equal(a, b)
+    nrmse = np.sqrt(np.mean((a - b) ** 2)) / (np.std(a) + 1e-9)
+    assert nrmse < 0.1, f"fakequant noise unexpectedly large: NRMSE {nrmse}"
+
+
+def test_train_fakequant_gradients_flow_and_step_runs(tiny_setup):
+    """QAT train-mode: STE gradients reach every conv kernel and BN param,
+    and the step is jittable (static fakequant flag, no data-dependent
+    control flow)."""
+    ops, _folded, x = tiny_setup
+    params, state = darknet.init_graph_params(ops, jax.random.PRNGKey(8))
+    for k, v in params.items():
+        if k.startswith("bnorm_"):
+            v["gamma"] = v["gamma"] + 0.7
+
+    @jax.jit
+    def loss_fn(p):
+        outs, _ = darknet.apply_graph(p, state, x, ops, train=True,
+                                      fakequant=True)
+        return jnp.mean(jnp.square(outs["out"]))
+
+    grads = jax.grad(loss_fn)(params)
+    for k, v in grads.items():
+        for name, g in v.items():
+            assert np.any(np.asarray(g) != 0.0), f"zero grad at {k}/{name}"
+
+
+def test_train_fakequant_residual_requant_count(tiny_setup):
+    """The fused-residual rule holds in the training fake-quant too: the conv
+    feeding an add defers its requant to the post-add position, so the
+    rounding count matches serving (fakequant_skip_ops)."""
+    ops, _folded, _x = tiny_setup
+    skip = darknet.fakequant_skip_ops(ops)
+    # in _tiny_graph, conv_2 (op index 3) immediately precedes the add
+    assert skip == {3}
+
+
+def test_qat_checkpoint_quantizes_with_low_error():
+    """End-to-end: a few QAT steps on a tiny trunk, then the REAL serving
+    chain (fold -> quantize_folded -> apply_graph_quant) — the deployed int8
+    output must track the f32 output closely. This is the property the
+    400-epoch bench recipe relies on."""
+    import optax
+
+    ops = _tiny_graph()
+    params, state = darknet.init_graph_params(ops, jax.random.PRNGKey(9))
+    for k, v in params.items():
+        if k.startswith("bnorm_"):
+            v["gamma"] = v["gamma"] + 0.7
+    x = jax.random.uniform(jax.random.PRNGKey(10), (4, 16, 16, 3))
+    y = jax.random.uniform(jax.random.PRNGKey(11), (4, 16, 16, 6))
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, o, s):
+        def loss_fn(p):
+            outs, ns = darknet.apply_graph(p, s, x, ops, train=True,
+                                           fakequant=True)
+            return jnp.mean(jnp.square(outs["out"] - y)), ns
+
+        (l, ns), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        up, o = opt.update(g, o)
+        return optax.apply_updates(p, up), o, ns, l
+
+    losses = []
+    for _ in range(10):
+        params, opt_state, state, loss = step(params, opt_state, state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+    folded = darknet.fold_graph_params(params, state, ops)
+    q = quant.quantize_folded(folded, x, ops)
+    out_q = np.asarray(quant.apply_graph_quant(q, x, ops)["out"])
+    out_f = np.asarray(darknet.apply_graph_folded(
+        folded, x, ops, compute_dtype=jnp.float32)["out"])
+    nrmse = np.sqrt(np.mean((out_q - out_f) ** 2)) / (np.std(out_f) + 1e-9)
+    assert nrmse < 0.05, f"PTQ after QAT drifted: NRMSE {nrmse}"
+
+
+def test_trainer_fakequant_knob(tmp_path):
+    """FdConf.train_qat plumbs through FaceDetectorPipeline.train into
+    train_detector(fakequant=True)."""
+    from face_vijnana_yolov3_tpu.train import trainer as trainer_mod
+
+    seen = {}
+    real = trainer_mod.train_detector
+
+    def spy(model, params, state, dataset, hps, **kw):
+        seen["fakequant"] = kw.get("fakequant")
+        return params, state, [0.0]
+
+    trainer_mod.train_detector = spy
+    try:
+        from face_vijnana_yolov3_tpu.api.config import FdConf
+        from face_vijnana_yolov3_tpu.api.face_detection import (
+            FaceDetectorPipeline,
+        )
+
+        conf = FdConf(weights_path="missing.weights",
+                      model_path=str(tmp_path / "ck"))
+        conf.nn_arch.image_size = 96
+        conf.train_qat = True
+        pipe = FaceDetectorPipeline(conf)
+        import face_vijnana_yolov3_tpu.data.uccs as uccs
+
+        class _DS:
+            def steps(self, bs):
+                return 1
+
+            def batch(self, i, bs):
+                return (np.zeros((2, 96, 96, 3), np.float32),
+                        np.zeros((2, 3, 3, 6), np.float32))
+
+        real_ds = uccs.DetectionDataset
+        uccs.DetectionDataset = lambda *a, **k: _DS()
+        try:
+            pipe.train()
+        finally:
+            uccs.DetectionDataset = real_ds
+    finally:
+        trainer_mod.train_detector = real
+    assert seen["fakequant"] is True

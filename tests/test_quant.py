@@ -502,9 +502,16 @@ def test_pipeline_bf16_front_auto(tmp_path, monkeypatch):
     conf.nn_arch.image_size = 96
     conf.bf16_f32_front = "auto"
     fd = FaceDetectorPipeline(conf, precision="bfloat16")
+    # >= 16 images: a smaller batch defers the probe (ADVICE r4). A random
+    # checkpoint may yield zero f32 detections (inconclusive scorer), in
+    # which case the probe defers up to 3 times before pinning depth 2 —
+    # loop so the test pins either way.
     x = np.random.default_rng(0).uniform(
-        0, 1, (2, 96, 96, 3)).astype(np.float32)
-    fd.detect_batch(x)
+        0, 1, (16, 96, 96, 3)).astype(np.float32)
+    for _ in range(3):
+        fd.detect_batch(x)
+        if hasattr(fd, "bf16_front_chosen"):
+            break
     assert fd.bf16_front_chosen in (0, 1, 2)
     assert fd._bf16_front_depth() == fd.bf16_front_chosen
     assert fd.bf16_front_err is not None
@@ -682,3 +689,105 @@ def test_detection_box_f1_scorer():
     # no boxes on either side = agreement, not failure
     none = np.full((2, 13, 13, 6), -6.0, np.float32)
     assert scorer(none, none.copy()) == 0.0
+
+
+def test_bf16_front_auto_defers_on_small_batch(tmp_path):
+    """ADVICE r4 (medium): a single-image / tiny detect call must NOT narrow
+    the bf16 accuracy guard — the probe defers (serves depth 2 unpinned) so a
+    later representative batch can decide."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+
+    conf = FdConf(weights_path=str(tmp_path / "missing.weights"))
+    conf.nn_arch.image_size = 96
+    conf.bf16_f32_front = "auto"
+    fd = FaceDetectorPipeline(conf, precision="bfloat16")
+    x_small = np.random.default_rng(1).uniform(
+        0, 1, (1, 96, 96, 3)).astype(np.float32)
+    fd.detect_batch(x_small)
+    assert not hasattr(fd, "bf16_front_chosen")  # unpinned
+    assert fd._bf16_front_depth() == 2           # conservative while deferred
+    # later >=16-image batches run the real probe and pin — either via a
+    # conclusive verdict or via the 3-attempt inconclusive cap
+    x_big = np.random.default_rng(2).uniform(
+        0, 1, (16, 96, 96, 3)).astype(np.float32)
+    for _ in range(3):
+        fd.detect_batch(x_big)
+        if hasattr(fd, "bf16_front_chosen"):
+            break
+    assert fd.bf16_front_chosen in (0, 1, 2)
+
+
+def test_bf16_front_auto_inconclusive_scorer_keeps_guard(tmp_path,
+                                                         monkeypatch):
+    """ADVICE r4 (medium): when the f32 reference finds zero detections the
+    scorer falls back to NRMSE and flags itself inconclusive — a vacuous
+    NRMSE pass must NOT remove the guard; after 3 such probes the
+    conservative depth 2 pins."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.models import quant as quant_mod
+
+    def fake_scorer_factory(cfg):
+        def scorer(ref, cand):
+            scorer.inconclusive = True  # simulate the zero-detection path
+            return 0.0                  # vacuous "pass"
+
+        scorer.inconclusive = False
+        return scorer
+
+    monkeypatch.setattr(quant_mod, "detection_box_f1_scorer",
+                        fake_scorer_factory)
+    conf = FdConf(weights_path=str(tmp_path / "missing.weights"))
+    conf.nn_arch.image_size = 96
+    conf.bf16_f32_front = "auto"
+    fd = FaceDetectorPipeline(conf, precision="bfloat16")
+    x = np.random.default_rng(3).uniform(
+        0, 1, (16, 96, 96, 3)).astype(np.float32)
+    for i in range(3):
+        d, _ = fd.autoselect_bf16_front(x)
+        assert d == 2
+    # pinned to the conservative guard after 3 inconclusive attempts
+    assert fd.bf16_front_chosen == 2
+
+
+def test_scorer_sets_inconclusive_flag(trunk_setup):
+    """detection_box_f1_scorer flags the NRMSE fallback (zero f32
+    detections) as inconclusive and clears the flag on conclusive calls."""
+    import warnings
+
+    from face_vijnana_yolov3_tpu.ops.postprocess import FacePostprocessConfig
+
+    m, _params, _state, _folded, _x = trunk_setup
+    grid = m.image_size // 32
+    cfg = FacePostprocessConfig(image_size=m.image_size, grid=grid)
+    scorer = quant.detection_box_f1_scorer(cfg)
+    assert scorer.inconclusive is False
+    # all-negative heads: no detections anywhere -> NRMSE fallback
+    dead = np.full((2, grid, grid, 6), -8.0, np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        scorer(dead, dead)
+    assert scorer.inconclusive is True
+    # confident center cell in the reference -> conclusive box-F1 path
+    live = dead.copy()
+    live[:, grid // 2, grid // 2] = [8.0, 0.5, 0.5, 0.5, 0.5, 8.0]
+    scorer(live, live)
+    assert scorer.inconclusive is False
+
+
+def test_int8_error_profile_with_islands_and_tail0(trunk_setup):
+    """ADVICE r4 (low): the profile must handle qparams built with bf16_ops
+    islands (island convs have no conv_i int8 entry — they are dequant-walked
+    and excluded from the result) and must read tail_start=0 as a real value,
+    not as 'no tail'."""
+    m, _params, _state, folded, x = trunk_setup
+    q = m.quantize(folded, x, bf16_ops=(5,))
+    prof = quant.int8_error_profile(q, folded, x, m.ops)
+    n_convs = sum(1 for op in m.ops if op[0] == "conv")
+    assert len(prof) == n_convs - 1 and 5 not in prof
+    assert all(np.isfinite(v) and v >= 0 for v in prof.values())
+
+    q2 = {k: v for k, v in m.quantize(folded, x).items()}
+    q2["tail_start"] = 0  # degenerate: everything is tail
+    assert quant.int8_error_profile(q2, folded, x, m.ops) == {}
