@@ -209,6 +209,11 @@ class FiConf:
     # remat-off wins ~24% (b32: 207 vs 167 triplets/s). Set True (or N) only
     # if a larger batch/resolution OOMs.
     train_remat: bool | int = False
+    # Quantization-aware training of the shared trunk (see FdConf.train_qat):
+    # the lever for an int8-eligible FI embed path — PTQ int8 on a
+    # plain-trained identifier measured a 7.2% registry-match flip rate
+    # (over the 5% export gate; scripts/probe_fi_int8_acc.py).
+    train_qat: bool = False
     # Same semantics as FdConf.int8_calib_percentile ("auto" = per-channel
     # measured-MSE choice between maxabs and clip candidates).
     int8_calib_percentile: float | str = "auto"

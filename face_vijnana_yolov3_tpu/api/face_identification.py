@@ -288,6 +288,7 @@ class FaceIdentifierPipeline:
             checkpoint_every=getattr(self.conf, "checkpoint_every", 0),
             mining=getattr(self.conf, "negative_mining", "random"),
             remat=getattr(self.conf, "train_remat", False),
+            fakequant=getattr(self.conf, "train_qat", False),
         )
         self._embed_cache.clear()
         self._embed_raw_cache.clear()

@@ -178,3 +178,37 @@ def map_sweep(gt_path: str, sol_path: str, out_h5: str | None = "p_r_curve.h5"):
             f["rs_ls"] = np.asarray(rs_ls)
             f["mAP_ls"] = np.asarray(map_ls)
     return np.asarray(ps_ls), np.asarray(rs_ls), np.asarray(map_ls)
+
+
+def plot_pr_curves(h5_path: str = "p_r_curve.h5",
+                   out_png: str = "p_v_curve.png"):
+    """Render p_r_curve.h5 → the reference's published P-R figure.
+
+    The reference README ships pics/p_v_curve.png (README.md:177-180) but no
+    code to regenerate it from the p_r_curve.h5 its eval CLI writes
+    (reference src/space/evaluate.py:353-356) — this is the producer: one
+    matplotlib line per IoU threshold 0.50:0.05:0.95, recall on x, precision
+    on y, threshold legend, same title/axis labels as the published figure.
+    """
+    import h5py
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with h5py.File(h5_path, "r") as f:
+        ps_ls = np.asarray(f["ps_ls"])
+        rs_ls = np.asarray(f["rs_ls"])
+
+    fig, ax = plt.subplots(figsize=(11.69, 6.06))
+    for ps, rs, iou_th in zip(ps_ls, rs_ls, np.arange(0.5, 1.0, 0.05)):
+        ax.plot(rs, ps, label=f"{iou_th:.2f}", linewidth=1.2)
+    ax.set_title("Precision vs. recall according to IoU threshold.",
+                 fontsize=10)
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.grid(True)
+    ax.legend(loc="lower right", fontsize=8)
+    fig.savefig(out_png, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return out_png

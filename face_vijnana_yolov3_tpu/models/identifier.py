@@ -61,11 +61,17 @@ class FaceIdentifierModel:
 
     def embed(self, params, state, x, *, train: bool = False,
               compute_dtype=jnp.float32, remat: bool = False,
-              bn_momentum=None):
-        """(B,S,S,3) → (B, dense1_dim) L2-normalized embeddings (fid extractor)."""
+              bn_momentum=None, fakequant: bool = False):
+        """(B,S,S,3) → (B, dense1_dim) L2-normalized embeddings (fid extractor).
+
+        fakequant: quantization-aware trunk forward (darknet.apply_graph) —
+        the dense1/L2-normalize head stays full-precision exactly like the
+        deployed int8 embed program (embed_quant serves a bf16 dense1 on the
+        dequantized trunk feature)."""
         outs, new_state = darknet.apply_graph(
             params, state, x, self.ops, train=train,
             compute_dtype=compute_dtype, remat=remat, bn_momentum=bn_momentum,
+            fakequant=fakequant,
         )
         feat = outs["trunk"]
         flat = feat.reshape(feat.shape[0], -1)  # Keras Flatten: (H,W,C) row-major
@@ -161,13 +167,13 @@ class FaceIdentifierModel:
 
     def triplet_forward(self, params, state, anchors, positives, negatives, *,
                         train: bool = False, compute_dtype=jnp.float32,
-                        remat: bool = False):
+                        remat: bool = False, fakequant: bool = False):
         """One fused forward of the [a;p;n] stack → (B, 3*dense1_dim) output."""
         b = anchors.shape[0]
         stacked = jnp.concatenate([anchors, positives, negatives], axis=0)
         emb, new_state = self.embed(
             params, state, stacked, train=train, compute_dtype=compute_dtype,
-            remat=remat,
+            remat=remat, fakequant=fakequant,
         )
         ea, ep, en = emb[:b], emb[b : 2 * b], emb[2 * b :]
         return jnp.concatenate([ea, ep, en], axis=-1), new_state

@@ -307,8 +307,14 @@ def train_identifier(
     mining: str = "random",
     remat: bool | int = False,
     epoch_times: list | None = None,
+    fakequant: bool = False,
 ):
     """Train the triplet embedder; returns (params, state, losses).
+
+    fakequant: quantization-aware training of the shared trunk (see
+    train_detector) — the lever for serving the FI embed path int8 (the
+    round-4 flip-rate gate rejected PTQ int8 on a plain-trained checkpoint,
+    scripts/probe_fi_int8_acc.py).
 
     compute_dtype: as in train_detector — None/f32 strict, jnp.bfloat16 mixed
     precision (f32 master params, bf16 fwd/bwd), composes with the per-block
@@ -373,7 +379,7 @@ def train_identifier(
             # trunk — checkpointing residual blocks keeps HBM flat.
             out, new_state = model.triplet_forward(
                 prm, state, a, p, n, train=True, remat=remat,
-                compute_dtype=dtype,
+                compute_dtype=dtype, fakequant=fakequant,
             )
             d = model.dense1_dim
             ea, ep, en = out[:, :d], out[:, d : 2 * d], out[:, 2 * d :]

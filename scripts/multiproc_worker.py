@@ -95,6 +95,144 @@ def dp_step_result(mesh):
     return float(loss), float(checksum)
 
 
+def fi_step_result(mesh):
+    """One identifier DP x TP train step on `mesh`; returns (loss, checksum).
+
+    Mirrors train/trainer.train_identifier's sharded step at the same
+    standard as dp_step_result: the triplet [a;p;n] stack forwards through
+    the shared trunk (DP over 'data'), dense1's 4096-wide kernel input dim
+    shards over 'model' (TP — the partial products all-reduce inside the
+    jitted program), Adam moments shard like their params. On a 2-process
+    mesh the gradient psum AND the TP reduction cross the process boundary.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from face_vijnana_yolov3_tpu.models.identifier import FaceIdentifierModel
+    from face_vijnana_yolov3_tpu.parallel import mesh as mesh_lib
+    from face_vijnana_yolov3_tpu.train.optimizer import keras_adam
+
+    model = FaceIdentifierModel(image_size=IMAGE_SIZE, dense1_dim=16)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx = keras_adam(1e-3, 0.99, 0.99, 0.0)
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(1)
+    shape = (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)
+    a_np, p_np, n_np = (
+        rng.uniform(0, 1, shape).astype(np.float32) for _ in range(3)
+    )
+    w_np = np.ones((BATCH,), np.float32)
+
+    repl = mesh_lib.replicated(mesh)
+    data = mesh_lib.batch_sharded(mesh)
+    pspec = mesh_lib.shard_identifier_params(mesh, params)
+    opt_spec = type(opt_state)(
+        count=repl,
+        mu=mesh_lib.shard_identifier_params(mesh, opt_state.mu),
+        nu=mesh_lib.shard_identifier_params(mesh, opt_state.nu),
+    )
+
+    def put(arr, sharding):
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    a, p, n = put(a_np, data), put(p_np, data), put(n_np, data)
+    w = put(w_np, data)
+    params = jax.tree.map(lambda x, s: put(np.asarray(x), s), params, pspec)
+    state = jax.tree.map(lambda x: put(np.asarray(x), repl), state)
+    opt_state = type(opt_state)(
+        count=put(np.asarray(opt_state.count), repl),
+        mu=jax.tree.map(lambda x, s: put(np.asarray(x), s),
+                        opt_state.mu, opt_spec.mu),
+        nu=jax.tree.map(lambda x, s: put(np.asarray(x), s),
+                        opt_state.nu, opt_spec.nu),
+    )
+
+    d = model.dense1_dim
+
+    def step_fn(params, state, opt_state, a, p, n, weights):
+        def loss_fn(prm):
+            out, new_state = model.triplet_forward(
+                prm, state, a, p, n, train=True
+            )
+            ea, ep, en = out[:, :d], out[:, d:2 * d], out[:, 2 * d:]
+            d_ap = jnp.sqrt(jnp.sum((ea - ep) ** 2, axis=-1))
+            d_an = jnp.sqrt(jnp.sum((ea - en) ** 2, axis=-1))
+            per = jnp.maximum(d_ap - d_an + 0.2, 0.0)
+            return jnp.sum(per * weights) / jnp.sum(weights), new_state
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda x, u: x + u, params, updates)
+        checksum = sum(
+            jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(new_params)
+        )
+        return loss, checksum
+
+    jit_step = jax.jit(
+        step_fn,
+        in_shardings=(pspec, jax.tree.map(lambda _: repl, state), opt_spec,
+                      data, data, data, data),
+        out_shardings=(repl, repl),
+    )
+    loss, checksum = jit_step(params, state, opt_state, a, p, n, w)
+    return float(loss), float(checksum)
+
+
+def int8_serve_result(mesh):
+    """The calibrated int8 DP serving program on `mesh`; returns
+    (count_sum, cand_checksum).
+
+    Same program parallel/serving's detect DP path runs: calibrate on a
+    deterministic batch (bit-deterministic cross-process —
+    scripts/probe_calib_determinism.py), close the qparams over a jitted
+    batch-sharded detect+postprocess, and checksum the outputs. The int8
+    arithmetic is integer-exact, so the multi-process result must match the
+    single-process mesh's bitwise on counts.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from face_vijnana_yolov3_tpu.models.detector import FaceDetectorModel
+    from face_vijnana_yolov3_tpu.ops.postprocess import (
+        FacePostprocessConfig,
+        face_postprocess,
+    )
+    from face_vijnana_yolov3_tpu.parallel import mesh as mesh_lib
+
+    model = FaceDetectorModel(image_size=IMAGE_SIZE)
+    params, state = model.init(jax.random.PRNGKey(2))
+    folded = model.fold(params, state)
+    rng = np.random.default_rng(3)
+    x_calib = jnp.asarray(
+        rng.uniform(0, 1, (4, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.float32)
+    )
+    qparams = jax.device_get(model.quantize(folded, x_calib))
+
+    cfg = FacePostprocessConfig(image_size=IMAGE_SIZE, grid=IMAGE_SIZE // 32,
+                                conf_th=0.1)
+    data = mesh_lib.batch_sharded(mesh)
+    repl = mesh_lib.replicated(mesh)
+
+    def serve(images):
+        head = model.apply_quant(qparams, images)
+        return jax.vmap(lambda h: face_postprocess(h, cfg))(head)
+
+    jit_serve = jax.jit(serve, in_shardings=(data,),
+                        out_shardings=(repl, repl))
+    imgs_np = rng.uniform(
+        0, 1, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.float32)
+    imgs = jax.make_array_from_callback(
+        imgs_np.shape, data, lambda idx: imgs_np[idx]
+    )
+    cands, counts = jit_serve(imgs)
+    return float(jnp.sum(counts)), float(jnp.sum(jnp.abs(cands)))
+
+
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     os.environ["XLA_FLAGS"] = (
@@ -120,6 +258,13 @@ def main():
     mesh = make_mesh()
     loss, checksum = dp_step_result(mesh)
     print(f"RESULT {loss!r} {checksum!r}", flush=True)
+    # Identifier DP x TP (data 4 x model 2): the 'model' pairs sit inside
+    # one process, the 'data' axis spans both — TP reduction AND grad psum
+    # cross topology kinds in one program.
+    fi_loss, fi_ck = fi_step_result(make_mesh(model_axis=2))
+    print(f"RESULT_FI {fi_loss!r} {fi_ck!r}", flush=True)
+    i8_counts, i8_ck = int8_serve_result(make_mesh())
+    print(f"RESULT_INT8 {i8_counts!r} {i8_ck!r}", flush=True)
     jax.distributed.shutdown()
 
 

@@ -67,6 +67,12 @@ def main():
     if not os.path.exists(os.path.join(workdir, "subject_image_db.csv")):
         create_subject_db_uccs(workdir, image_size=416)
 
+    # "qat" argv flag / FVY_FI_QAT=1: train the identifier quantization-aware
+    # (FiConf.train_qat) — the round-5 re-verdict lever after the plain
+    # checkpoint measured 7.2% int8 flips. Use a separate workdir from the
+    # plain run so both verdicts stay on record.
+    qat = ("qat" in sys.argv[5:]) or os.environ.get("FVY_FI_QAT") == "1"
+
     def conf_for():
         conf = Conf()
         conf.fi_conf.raw_data_path = workdir
@@ -76,6 +82,7 @@ def main():
         conf.fi_conf.hps.lr = 1e-4
         conf.fi_conf.hps.epochs = epochs
         conf.fi_conf.hps.batch_size = 24
+        conf.fi_conf.train_qat = qat
         conf.fd_conf.weights_path = "missing.weights"
         return conf
 

@@ -28,9 +28,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _parse_result(stdout: str):
-    m = re.search(r"^RESULT (\S+) (\S+)$", stdout, re.M)
-    assert m, f"no RESULT line in worker output:\n{stdout}"
+def _parse_result(stdout: str, tag: str = "RESULT"):
+    m = re.search(rf"^{tag} (\S+) (\S+)$", stdout, re.M)
+    assert m, f"no {tag} line in worker output:\n{stdout}"
     return float(m.group(1)), float(m.group(2))
 
 
@@ -79,7 +79,8 @@ def test_two_process_dp_step_matches_single_process():
     from face_vijnana_yolov3_tpu.parallel import make_mesh
 
     sys.path.insert(0, os.path.join(REPO, "scripts"))
-    from multiproc_worker import dp_step_result
+    from multiproc_worker import dp_step_result, fi_step_result, \
+        int8_serve_result
 
     ref_loss, ref_checksum = dp_step_result(make_mesh(8))
     loss, checksum = results[0]
@@ -87,3 +88,20 @@ def test_two_process_dp_step_matches_single_process():
     # equality is not guaranteed, agreement to ~1e-5 rel is.
     assert loss == pytest.approx(ref_loss, rel=1e-5)
     assert checksum == pytest.approx(ref_checksum, rel=1e-5)
+
+    # Identifier DP x TP step at the same standard (VERDICT r4 #5): the TP
+    # partial-product reduction and the grad psum both cross the process
+    # boundary; result must match the single-process DPxTP mesh.
+    fi_results = [_parse_result(out, "RESULT_FI") for _, out in outs]
+    assert fi_results[0] == pytest.approx(fi_results[1], rel=1e-6)
+    fi_ref = fi_step_result(make_mesh(8, model_axis=2))
+    assert fi_results[0][0] == pytest.approx(fi_ref[0], rel=1e-5)
+    assert fi_results[0][1] == pytest.approx(fi_ref[1], rel=1e-5)
+
+    # int8 DP serving program: integer-exact trunk — counts match bitwise,
+    # candidate coords to f32 tolerance.
+    i8_results = [_parse_result(out, "RESULT_INT8") for _, out in outs]
+    assert i8_results[0] == pytest.approx(i8_results[1], rel=1e-6)
+    i8_ref = int8_serve_result(make_mesh(8))
+    assert i8_results[0][0] == i8_ref[0]  # counts: bitwise
+    assert i8_results[0][1] == pytest.approx(i8_ref[1], rel=1e-5)

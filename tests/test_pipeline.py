@@ -181,6 +181,27 @@ def test_map_sweep_writes_h5(tmp_path, monkeypatch):
         assert set(f.keys()) == {"ps_ls", "rs_ls", "mAP_ls"}
 
 
+def test_plot_pr_curves_renders_png(tmp_path, monkeypatch):
+    """The P-R figure producer (the reference ships pics/p_v_curve.png with
+    no code to regenerate it — VERDICT r4 #6): p_r_curve.h5 in, a valid PNG
+    out, via both the function and the eval-CLI plot mode."""
+    gt_path, sol_path = _write_map_fixture(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    map_sweep(gt_path, sol_path)
+    from face_vijnana_yolov3_tpu.evals.detection import plot_pr_curves
+
+    out = plot_pr_curves(str(tmp_path / "p_r_curve.h5"),
+                         str(tmp_path / "p_v_curve.png"))
+    data = open(out, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) > 5000
+
+    from face_vijnana_yolov3_tpu.api.evaluate import main as eval_main
+
+    eval_main(["-m", "plot_p_r_curve", "-s", str(tmp_path / "p_r_curve.h5"),
+               "--plot", str(tmp_path / "cli.png")])
+    assert open(tmp_path / "cli.png", "rb").read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
 def test_map_empty_solution_clear_error(tmp_path):
     """A zero-row solution file (undertrained run, nothing above
     face_conf_th) must raise the documented clear ValueError, not a raw

@@ -376,3 +376,22 @@ def test_trainer_fakequant_knob(tmp_path):
     finally:
         trainer_mod.train_detector = real
     assert seen["fakequant"] is True
+
+
+def test_identifier_fakequant_passthrough():
+    """FaceIdentifierModel.embed/triplet_forward plumb fakequant into the
+    trunk walk: the QAT forward differs from the plain one (noise injected)
+    but stays L2-normalized."""
+    from face_vijnana_yolov3_tpu.models.identifier import FaceIdentifierModel
+
+    m = FaceIdentifierModel(image_size=64, dense1_dim=8)
+    params, state = m.init(jax.random.PRNGKey(12))
+    x = jax.random.uniform(jax.random.PRNGKey(13), (2, 64, 64, 3))
+    e0, _ = m.embed(params, state, x, train=False)
+    e1, _ = m.embed(params, state, x, train=False, fakequant=True)
+    assert not np.array_equal(np.asarray(e0), np.asarray(e1))
+    np.testing.assert_allclose(
+        np.sum(np.asarray(e1) ** 2, axis=-1), 1.0, rtol=1e-5)
+    out, _ = m.triplet_forward(params, state, x, x, x, train=True,
+                               fakequant=True)
+    assert out.shape == (2, 24)
