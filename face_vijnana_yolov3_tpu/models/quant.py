@@ -682,7 +682,8 @@ def _quant(h_f32, scale: np.ndarray):
 
 def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = True,
                       pallas_blocks: bool = False,
-                      pallas_interpret: bool = False):
+                      pallas_interpret: bool = False,
+                      pallas_shift_mode: str = "concat"):
     """int8 inference forward. x is f32/bf16 in network input space.
 
     Activations travel between convs as int8 at the calibrated per-channel
@@ -710,6 +711,9 @@ def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = Tru
     (ops/pallas_block.py): the 1x1 intermediate never leaves VMEM and the
     3x3 runs as 9 MXU-native tap matmuls. Bit-exact vs the stock path.
     pallas_interpret: run those kernels in the Pallas interpreter (CPU tests).
+    pallas_shift_mode: tap-shift formulation inside those kernels —
+    "concat" (int8 operand slice+concat copies) or "roll" (unshifted tap
+    matmuls + int32 sublane rotates; ops/pallas_block.py docstring).
     """
     tail_start = qparams.get("tail_start")
     if tail_start is not None:
@@ -724,6 +728,7 @@ def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = Tru
             fuse_residual=fuse_residual,
             pallas_blocks=pallas_blocks,
             pallas_interpret=pallas_interpret,
+            pallas_shift_mode=pallas_shift_mode,
         )
         h = head_outs.pop("__cut")
         tail_outs = apply_graph_folded(
@@ -790,7 +795,7 @@ def apply_graph_quant(qparams, x, ops: list[tuple], *, fuse_residual: bool = Tru
                 p1["w_scale"], p1["bias"], 1.0 / scales[i + 2],
                 p2["w_scale"], p2["bias"], s, 1.0 / scales[i + 4],
                 height=int(h_q.shape[1]), width=int(h_q.shape[2]),
-                interpret=pallas_interpret,
+                interpret=pallas_interpret, shift_mode=pallas_shift_mode,
             )
             s = scales[i + 4]
             skip_until = i + 3

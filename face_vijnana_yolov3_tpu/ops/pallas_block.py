@@ -80,7 +80,7 @@ def block_eligible(in_c: int, mid_c: int) -> bool:
 
 def _block_kernel(x_ref, w1_ref, w2_ref, ws1_ref, b1_ref, ism_ref,
                   ws2_ref, b2_ref, ss_ref, iso_ref, out_ref, *,
-                  height: int, width: int):
+                  height: int, width: int, shift_mode: str = "concat"):
     hw = height * width
     x = x_ref[0]  # [HW, C] int8
 
@@ -93,33 +93,53 @@ def _block_kernel(x_ref, w1_ref, w2_ref, ws1_ref, b1_ref, ism_ref,
     h1 = jnp.where(h1 > 0, h1, LEAKY_ALPHA * h1)
     y1 = jnp.clip(jnp.round(h1 * ism_ref[0]), -127, 127).astype(jnp.int8)
 
-    # ---- 3x3 conv as 9 shifted tap matmuls over the VMEM-resident y1.
+    # ---- 3x3 conv as 9 tap matmuls over the VMEM-resident y1.
     row = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
     r_h = row // width
     r_w = row % width
     acc = jnp.zeros((hw, x_ref.shape[-1]), jnp.int32)
     for t, (dy, dx) in enumerate(_TAPS):
         off = dy * width + dx
-        # shifted[r] = y1[r + off] as a static slice + zero-fill concat on the
-        # sublane dim (Mosaic has no int8 sublane rotate: "Rotate with
-        # non-32-bit data"); the border mask below re-zeros these rows anyway.
-        if off > 0:
-            shifted = jnp.concatenate(
-                [y1[off:], jnp.zeros((off, y1.shape[1]), jnp.int8)], axis=0)
-        elif off < 0:
-            shifted = jnp.concatenate(
-                [jnp.zeros((-off, y1.shape[1]), jnp.int8), y1[:off]], axis=0)
-        else:
-            shifted = y1
         valid = (
             (r_h + dy >= 0) & (r_h + dy < height)
             & (r_w + dx >= 0) & (r_w + dx < width)
         )
-        shifted = jnp.where(valid, shifted, jnp.int8(0))
-        acc = acc + jax.lax.dot_general(
-            shifted, w2_ref[t], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        if shift_mode == "roll":
+            # Shift the ACCUMULATOR, not the operand: out[r] += y1[r+off]@K_t
+            # is out[r] += Z_t[r+off] with Z_t = y1@K_t computed UNSHIFTED —
+            # zero data movement feeds the MXU (all 9 taps share one lhs),
+            # and the shift becomes a sublane rotate of the int32 tap
+            # product, which Mosaic supports (the int8 operand rotate it
+            # refuses is never needed). Wrapped rows land on destinations
+            # the border mask zeroes.
+            z = jax.lax.dot_general(
+                y1, w2_ref[t], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            if off:
+                # roll requires a non-negative shift; -off mod hw is the
+                # same circular rotation
+                z = pltpu.roll(z, (-off) % hw, axis=0)
+            acc = acc + jnp.where(valid, z, 0)
+        else:
+            # shifted[r] = y1[r + off] as a static slice + zero-fill concat
+            # on the sublane dim (Mosaic has no int8 sublane rotate: "Rotate
+            # with non-32-bit data"); the border mask re-zeros these rows.
+            if off > 0:
+                shifted = jnp.concatenate(
+                    [y1[off:], jnp.zeros((off, y1.shape[1]), jnp.int8)],
+                    axis=0)
+            elif off < 0:
+                shifted = jnp.concatenate(
+                    [jnp.zeros((-off, y1.shape[1]), jnp.int8), y1[:off]],
+                    axis=0)
+            else:
+                shifted = y1
+            shifted = jnp.where(valid, shifted, jnp.int8(0))
+            acc = acc + jax.lax.dot_general(
+                shifted, w2_ref[t], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
 
     # ---- epilogue: dequant, leaky, fused skip-add, single requant.
     hf = acc.astype(jnp.float32) * ws2_ref[0] + b2_ref[0]
@@ -130,11 +150,11 @@ def _block_kernel(x_ref, w1_ref, w2_ref, ws1_ref, b1_ref, ism_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "interpret"),
+    static_argnames=("height", "width", "interpret", "shift_mode"),
 )
 def fused_block_int8(x_q, w1_q, w2_q, ws1, b1, inv_s_mid, ws2, b2,
                      skip_s, inv_s_out, *, height: int, width: int,
-                     interpret: bool = False):
+                     interpret: bool = False, shift_mode: str = "concat"):
     """One int8 residual block, fused. x_q: [B, H, W, C] int8.
 
     w1_q: [C, Ch] int8 (1x1 kernel, input scales pre-folded as in
@@ -143,13 +163,20 @@ def fused_block_int8(x_q, w1_q, w2_q, ws1, b1, inv_s_mid, ws2, b2,
     skip/output scales ((Ch,) or (C,)).
     Returns [B, H, W, C] int8 at the post-add activation scales — bit-exact
     vs the stock apply_graph_quant fused-residual path.
+
+    shift_mode: "concat" (round-2 kernel: shift the int8 operand by slice+
+    concat copies) or "roll" (round-5: unshifted tap matmuls, then rotate
+    the int32 product with the sublane roll Mosaic does support — the
+    zero-per-tap-data-movement formulation the round-2 postmortem called
+    for). Both are bit-exact vs the stock path (int32 adds commute).
     """
     b, h, w, c = x_q.shape
     ch = w1_q.shape[1]
     hw = h * w
     x_flat = x_q.reshape(b, hw, c)
     vec = lambda v: jnp.asarray(v, jnp.float32).reshape(1, -1)
-    kernel = functools.partial(_block_kernel, height=h, width=w)
+    kernel = functools.partial(_block_kernel, height=h, width=w,
+                               shift_mode=shift_mode)
     flops = 2 * b * hw * (c * ch + 9 * ch * c)
     out = pl.pallas_call(
         kernel,

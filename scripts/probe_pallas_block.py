@@ -83,18 +83,26 @@ def main():
         def step_pallas(qp, x):
             return quant.apply_graph_quant(qp, x, ops, pallas_blocks=True)["trunk"]
 
+        def step_roll(qp, x):
+            return quant.apply_graph_quant(
+                qp, x, ops, pallas_blocks=True,
+                pallas_shift_mode="roll")["trunk"]
+
         # exactness at a small batch
         x_small = jnp.asarray(rng.normal(0, 1, (4, H, H, C)), jnp.float32)
         a = np.asarray(jax.jit(step_xla)(qp, x_small))
         b = np.asarray(jax.jit(step_pallas)(qp, x_small))
-        exact = np.array_equal(a, b)
-        print(f"{label}: exact={exact} (max|d|={np.abs(a - b).max():.3g})")
+        c = np.asarray(jax.jit(step_roll)(qp, x_small))
+        exact = np.array_equal(a, b) and np.array_equal(a, c)
+        print(f"{label}: exact={exact} (concat max|d|={np.abs(a - b).max():.3g}"
+              f" roll max|d|={np.abs(a - c).max():.3g})")
         if not exact:
             continue
         for batch in batches:
             x = jnp.asarray(rng.normal(0, 1, (batch, H, H, C)), jnp.float32)
             row = [f"{label} b{batch}:"]
-            for name, step in (("xla", step_xla), ("pallas", step_pallas)):
+            for name, step in (("xla", step_xla), ("pallas", step_pallas),
+                               ("roll", step_roll)):
                 run = chained(step, batch, H, C)
                 jax.block_until_ready(run(qp, x))
                 t0 = time.perf_counter()

@@ -109,3 +109,18 @@ def test_ineligible_blocks_fall_through():
     got = np.asarray(quant.apply_graph_quant(
         qp, x, ops, pallas_blocks=True, pallas_interpret=True)["trunk"])
     np.testing.assert_array_equal(ref, got)
+
+
+def test_roll_shift_mode_bit_exact():
+    """The round-5 "roll" formulation (unshifted tap matmuls + int32 sublane
+    rotates) must be bit-exact vs both the stock XLA path and the concat
+    kernel — int32 tap adds commute, nothing else changes."""
+    rng = np.random.default_rng(7)
+    ops, folded = _block_graph(rng, 2, 256, 128)
+    x = rng.normal(0, 1, (2, 6, 6, 256)).astype(np.float32)
+    qp = quant.quantize_folded(folded, x, ops)
+    ref = np.asarray(quant.apply_graph_quant(qp, x, ops)["trunk"])
+    out = np.asarray(quant.apply_graph_quant(
+        qp, x, ops, pallas_blocks=True, pallas_interpret=True,
+        pallas_shift_mode="roll")["trunk"])
+    np.testing.assert_array_equal(ref, out)
