@@ -88,6 +88,12 @@ class FaceDetectorPipeline:
                 ckpt = load_checkpoint(conf.model_path)
                 self.params, self.state = ckpt["params"], ckpt["state"]
                 self.opt_state = ckpt.get("opt_state")
+                from face_vijnana_yolov3_tpu.core.checkpoints import (
+                    load_train_meta,
+                )
+
+                self._ckpt_qat = bool(
+                    load_train_meta(conf.model_path).get("qat", False))
         elif conf.yolov3_base_model_load and os.path.exists("yolov3_base.h5"):
             # Reference fast path: cached trunk h5 (face_detection.py:393-396).
             from face_vijnana_yolov3_tpu.core.keras_import import (
@@ -223,9 +229,19 @@ class FaceDetectorPipeline:
             # on the calibration batch (quantize_autotail docstring).
             from face_vijnana_yolov3_tpu.models import quant
 
+            # QAT-trained checkpoints (sidecar trainmeta) serve FULL int8:
+            # the network was trained inside the int8 grid, so the f32 path
+            # is the off-distribution one and f32-agreement-driven tail
+            # escalation inverts — measured on the round-5 QAT checkpoint,
+            # held-out AP50 falls monotonically with tail depth (tail0
+            # 0.69 → tail8 0.59) while deeper tails agree BETTER with f32.
+            # The self-check still runs once at tail 0 to record err.
+            tails = ((0,) if getattr(self, "_ckpt_qat", False)
+                     else (0, 2, 4, 5, 6, 8))
             q, tail, err = quant.quantize_autotail(
                 self.model, folded, x_check,
                 percentile=percentile,
+                tails=tails,
                 bias_correct=bool(
                     getattr(self.conf, "int8_bias_correct", False)),
                 # detection-level verdict (1 − box F1 through the real

@@ -13,14 +13,39 @@ import os
 from typing import Any
 
 
-def save_checkpoint(path: str, tree: Any) -> None:
-    """Save a pytree (params/state/opt_state/step) to `path` (a directory)."""
+def save_checkpoint(path: str, tree: Any, meta: dict | None = None) -> None:
+    """Save a pytree (params/state/opt_state/step) to `path` (a directory).
+
+    meta: optional JSON-able training metadata written to a sidecar file
+    (`<path>.trainmeta.json`) — e.g. {"qat": true} for quantization-aware
+    runs, which flips the int8 serving default (calibrate_int8: a QAT
+    checkpoint serves FULL int8; on such checkpoints the f32 path is the
+    off-distribution one, so f32-agreement-driven tail escalation picks
+    slower AND less accurate configs — measured tail frontier inversion,
+    STATUS round-5). A sidecar keeps old checkpoints loadable unchanged.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
+    if meta is not None:
+        import json
+
+        with open(path + ".trainmeta.json", "w") as f:
+            json.dump(meta, f)
+
+
+def load_train_meta(path: str) -> dict:
+    """Sidecar training metadata for a checkpoint ({} when absent)."""
+    import json
+
+    p = os.path.abspath(path) + ".trainmeta.json"
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
 
 
 def load_checkpoint(path: str, target: Any | None = None) -> Any:

@@ -226,6 +226,7 @@ def train_detector(
             save_checkpoint(
                 checkpoint_path,
                 {"params": params, "state": state, "opt_state": opt_state},
+                meta={"qat": bool(fakequant)},
             )
             _write_history(history_path, [float(l) for l in losses])
 
@@ -243,6 +244,7 @@ def train_detector(
         save_checkpoint(
             checkpoint_path,
             {"params": params, "state": state, "opt_state": opt_state},
+            meta={"qat": bool(fakequant)},
         )
     return params, state, losses
 
@@ -515,6 +517,7 @@ def train_identifier(
             save_checkpoint(
                 checkpoint_path,
                 {"params": params, "state": state, "opt_state": opt_state},
+                meta={"qat": bool(fakequant)},
             )
             _write_history(history_path, [float(l) for l in losses])
 
@@ -543,5 +546,6 @@ def train_identifier(
         save_checkpoint(
             checkpoint_path,
             {"params": params, "state": state, "opt_state": opt_state},
+            meta={"qat": bool(fakequant)},
         )
     return params, state, losses

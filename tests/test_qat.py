@@ -395,3 +395,65 @@ def test_identifier_fakequant_passthrough():
     out, _ = m.triplet_forward(params, state, x, x, x, train=True,
                                fakequant=True)
     assert out.shape == (2, 24)
+
+
+def test_qat_checkpoint_serves_full_int8(tmp_path):
+    """A checkpoint saved from a QAT run (sidecar trainmeta {"qat": true})
+    pins the int8 serving default to FULL int8 — tail escalation measures
+    agreement with the off-distribution f32 path on such checkpoints and
+    inverts the real accuracy ordering (round-5 frontier)."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.core.checkpoints import (
+        load_train_meta,
+        save_checkpoint,
+    )
+    from face_vijnana_yolov3_tpu.models import quant as quant_mod
+    from face_vijnana_yolov3_tpu.models.detector import FaceDetectorModel
+
+    m = FaceDetectorModel(image_size=96)
+    params, state = m.init(jax.random.PRNGKey(20))
+    ck = str(tmp_path / "ck")
+    save_checkpoint(ck, {"params": params, "state": state},
+                    meta={"qat": True})
+    assert load_train_meta(ck) == {"qat": True}
+    assert load_train_meta(str(tmp_path / "missing")) == {}
+
+    conf = FdConf(weights_path="missing.weights", model_path=ck,
+                  model_loading=True)
+    conf.nn_arch.image_size = 96
+    pipe = FaceDetectorPipeline(conf, precision="int8")
+    assert pipe._ckpt_qat is True
+
+    seen = {}
+    real = quant_mod.quantize_autotail
+
+    def spy(model, folded, x, **kw):
+        seen["tails"] = kw.get("tails")
+        return real(model, folded, x, **kw)
+
+    quant_mod.quantize_autotail = spy
+    try:
+        imgs = np.asarray(jax.random.uniform(
+            jax.random.PRNGKey(21), (4, 96, 96, 3)), np.float32)
+        pipe.calibrate_int8(imgs)
+    finally:
+        quant_mod.quantize_autotail = real
+    assert seen["tails"] == (0,)
+    assert pipe.int8_tail_chosen == 0
+
+    # a plain (non-QAT) checkpoint keeps the full escalation ladder
+    ck2 = str(tmp_path / "ck2")
+    save_checkpoint(ck2, {"params": params, "state": state},
+                    meta={"qat": False})
+    conf2 = FdConf(weights_path="missing.weights", model_path=ck2,
+                   model_loading=True)
+    conf2.nn_arch.image_size = 96
+    pipe2 = FaceDetectorPipeline(conf2, precision="int8")
+    assert pipe2._ckpt_qat is False
+    quant_mod.quantize_autotail = spy
+    try:
+        pipe2.calibrate_int8(imgs)
+    finally:
+        quant_mod.quantize_autotail = real
+    assert seen["tails"] == (0, 2, 4, 5, 6, 8)
