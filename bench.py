@@ -269,7 +269,7 @@ def measure_ap(ckpt, valdir, precision):
     return float(maps[0]), float(np.mean(maps)), extra
 
 
-def measure_aps_cached(ckpt, valdir, meta):
+def measure_aps_cached(ckpt, valdir, meta, serving_pin=None):
     """AP passes, cached in meta.json per checkpoint epoch, budget-gated."""
     key = str(meta["epochs_done"])
     cache = meta.setdefault("ap_cache", {})
@@ -286,6 +286,13 @@ def measure_aps_cached(ckpt, valdir, meta):
                   "bf16_ap50", "bf16_guard", "bf16_guard_ap"):
             ap.pop(k, None)
         ap["calib_ver"] = CALIB_VER
+    # ... and for the artifact's measured serving pin (select_serving_tail):
+    # int8 rows measured under a different (or no) pin are a different
+    # served config.
+    if ap.get("serving_pin") != serving_pin:
+        for k in ("int8_ap50", "int8_map", "int8_ap50_drift", "int8_tail_ap"):
+            ap.pop(k, None)
+        ap["serving_pin"] = serving_pin
     for precision, fields in (
         ("float32", ("f32_ap50", "f32_map")),
         ("int8", ("int8_ap50", "int8_map")),
@@ -457,9 +464,40 @@ def main():
             for f in val_files
         ]).astype(np.float32))
 
-        ap = measure_aps_cached(ckpt, valdir, meta)
+        # Measured serving-tail pin (scripts/select_serving_tail.py): on QAT
+        # checkpoints the label-free self-check cannot resolve the tail
+        # frontier (errs flat 0.03-0.05 across tails spanning AP50
+        # 0.35-0.91, PROFILE round 5), so the bench — which HAS labels —
+        # measures the frontier once and pins the choice into the artifact's
+        # trainmeta sidecar. Serving and every later bench invocation honor
+        # the pin; the walk early-stops at the first (= fastest) tail whose
+        # drift clears the headline bar.
+        from face_vijnana_yolov3_tpu.core.checkpoints import load_train_meta
+
+        serving_pin = load_train_meta(ckpt).get("int8_tail")
+        if (load_train_meta(ckpt).get("qat") and serving_pin is None
+                and remaining() - THROUGHPUT_RESERVE_S > 4 * AP_PASS_EST_S):
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            from select_serving_tail import select_tail
+
+            from face_vijnana_yolov3_tpu.core.checkpoints import (
+                update_train_meta,
+            )
+
+            f32_cached = meta.get("ap_cache", {}).get(
+                str(meta["epochs_done"]), {}).get("f32_ap50")
+            serving_pin, table = select_tail(
+                CACHE, CKPT_NAME, f32_ap50=f32_cached,
+                log=lambda m: _log(m))
+            update_train_meta(ckpt, int8_tail=serving_pin,
+                              int8_tail_table=table)
+            _log(f"serving tail pinned: {serving_pin} (table {table})")
+
+        ap = measure_aps_cached(ckpt, valdir, meta, serving_pin=serving_pin)
         if ap:
-            _log("AP " + "  ".join(f"{k} {v:+.4f}" for k, v in ap.items()))
+            _log("AP " + "  ".join(f"{k} {v:+.4f}" for k, v in ap.items()
+                                   if isinstance(v, (int, float))))
     except Exception as e:  # no-TPU/dev environments: fall back to random
         _log(f"trained-checkpoint path unavailable ({e!r}); "
              "falling back to random weights")
@@ -482,21 +520,27 @@ def main():
         quantize_autotail,
     )
 
-    # QAT checkpoints (recipe v2, sidecar trainmeta) serve FULL int8 — the
-    # f32 path is the off-distribution one there, so f32-agreement tail
-    # escalation inverts (api/face_detection.calibrate_int8 comment; the
-    # measured round-5 frontier falls monotonically with tail depth).
-    ckpt_qat = False
+    # Serving-tail choice, same precedence as calibrate_int8: the measured
+    # sidecar pin (select_serving_tail, written above when absent) wins;
+    # pin-less QAT checkpoints serve full int8; plain checkpoints run the
+    # r4 escalation ladder.
+    ckpt_qat, pin = False, None
     if trained:
         from face_vijnana_yolov3_tpu.core.checkpoints import load_train_meta
 
-        ckpt_qat = bool(load_train_meta(ckpt).get("qat", False))
+        tm = load_train_meta(ckpt)
+        ckpt_qat = bool(tm.get("qat", False))
+        pin = tm.get("int8_tail")
+    tails = ((int(pin),) if pin is not None
+             else ((0,) if ckpt_qat else (0, 2, 4, 5, 6, 8)))
     qparams, int8_tail, int8_err = quantize_autotail(
         model, folded, x_calib, scorer=detection_box_f1_scorer(cfg),
-        tails=((0,) if ckpt_qat else (0, 2, 4, 5, 6, 8)))
+        tails=tails)
     qparams = jax.device_put(qparams)
     _log(f"int8 calibration self-check: 1-boxF1 {int8_err:.4f}, "
-         f"bf16 tail {int8_tail}{' (QAT ckpt: full int8)' if ckpt_qat else ''}")
+         f"bf16 tail {int8_tail}"
+         + (" (measured pin)" if pin is not None
+            else (" (QAT ckpt: full int8)" if ckpt_qat else "")))
 
     # Per-checkpoint bf16 guard depth (autoselect_bf16_front's rule): the
     # shallowest f32 front whose bf16 head reproduces the f32 detections on

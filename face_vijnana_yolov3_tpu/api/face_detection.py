@@ -92,8 +92,11 @@ class FaceDetectorPipeline:
                     load_train_meta,
                 )
 
-                self._ckpt_qat = bool(
-                    load_train_meta(conf.model_path).get("qat", False))
+                tm = load_train_meta(conf.model_path)
+                self._ckpt_qat = bool(tm.get("qat", False))
+                # release-time measured serving pin (update_train_meta /
+                # scripts/select_serving_tail.py); None = no pin recorded
+                self._ckpt_int8_tail = tm.get("int8_tail")
         elif conf.yolov3_base_model_load and os.path.exists("yolov3_base.h5"):
             # Reference fast path: cached trunk h5 (face_detection.py:393-396).
             from face_vijnana_yolov3_tpu.core.keras_import import (
@@ -229,15 +232,26 @@ class FaceDetectorPipeline:
             # on the calibration batch (quantize_autotail docstring).
             from face_vijnana_yolov3_tpu.models import quant
 
-            # QAT-trained checkpoints (sidecar trainmeta) serve FULL int8:
-            # the network was trained inside the int8 grid, so the f32 path
-            # is the off-distribution one and f32-agreement-driven tail
-            # escalation inverts — measured on the round-5 QAT checkpoint,
-            # held-out AP50 falls monotonically with tail depth (tail0
-            # 0.69 → tail8 0.59) while deeper tails agree BETTER with f32.
-            # The self-check still runs once at tail 0 to record err.
-            tails = ((0,) if getattr(self, "_ckpt_qat", False)
-                     else (0, 2, 4, 5, 6, 8))
+            # Serving-tail choice, strongest evidence first:
+            # 1. A MEASURED pin in the trainmeta sidecar (`int8_tail`,
+            #    written by scripts/select_serving_tail.py from held-out AP
+            #    at release time) — authoritative, because the label-free
+            #    self-check below CANNOT resolve the frontier on QAT
+            #    checkpoints: measured round 5, errs sit flat at 0.03-0.05
+            #    across tails whose held-out AP50 spans 0.346 (tail1) to
+            #    0.9114 (tail5), a frontier that is also non-monotonic
+            #    (tail0 0.776 > tail1 0.346 < tail5 0.911 vs f32 0.873).
+            # 2. No pin + QAT checkpoint: full int8 (the configuration the
+            #    training optimized; shallow tails measurably damage it).
+            # 3. No pin + plain checkpoint: the r4 escalation ladder.
+            # The self-check still runs to record err at the served config.
+            pin = getattr(self, "_ckpt_int8_tail", None)
+            if pin is not None:
+                tails = (int(pin),)
+            elif getattr(self, "_ckpt_qat", False):
+                tails = (0,)
+            else:
+                tails = (0, 2, 4, 5, 6, 8)
             q, tail, err = quant.quantize_autotail(
                 self.model, folded, x_check,
                 percentile=percentile,

@@ -37,6 +37,24 @@ def save_checkpoint(path: str, tree: Any, meta: dict | None = None) -> None:
             json.dump(meta, f)
 
 
+def update_train_meta(path: str, **kv) -> dict:
+    """Merge keys into a checkpoint's trainmeta sidecar; returns the result.
+
+    Used by release-time tooling to pin MEASURED serving configuration onto
+    the artifact — e.g. `int8_tail` from scripts/select_serving_tail.py (the
+    label-free calibration self-check cannot resolve the int8 tail frontier
+    on QAT checkpoints: measured errs are flat ~0.03-0.05 across tails whose
+    held-out AP50 spans 0.35-0.91, PROFILE round 5). Serving honors the pin
+    (api/face_detection.calibrate_int8)."""
+    import json
+
+    meta = load_train_meta(path)
+    meta.update(kv)
+    with open(os.path.abspath(path) + ".trainmeta.json", "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
 def load_train_meta(path: str) -> dict:
     """Sidecar training metadata for a checkpoint ({} when absent)."""
     import json

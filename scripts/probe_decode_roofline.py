@@ -61,6 +61,18 @@ def main():
         f"scaled {m}/8 decode only",
         lambda fs: native_loader.decode_batch_staged_scaled(fs, 416),
     )
+    if m > 1:
+        # VERDICT r4 #4: one-notch-coarser decode (e.g. 2/8 for 720p->416).
+        # The scaled long side falls BELOW the letterbox target, so the
+        # device resize would upsample — accuracy-affecting, never picked by
+        # pick_scale_num; this row only measures whether the decode ceiling
+        # would move if that trade were accepted.
+        coarse_target = (max(h, w) * (m - 1)) // 8
+        timed(
+            f"coarser {m - 1}/8 decode only (accuracy-affecting)",
+            lambda fs: native_loader.decode_batch_staged_scaled(
+                fs, coarse_target),
+        )
     print(f"\npipeline efficiency = <streaming img/s> / {scaled:.1f} "
           "(run scripts/bench_streaming.py for the numerator)")
 

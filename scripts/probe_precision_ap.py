@@ -35,6 +35,16 @@ def main():
         i = args.index("--only")
         only = args[i + 1]
         args = args[:i] + args[i + 2:]
+    ckpt_name = "fd_ckpt"
+    if "--ckpt" in args:  # e.g. --ckpt fd_ckpt_qat (the recipe-v2 artifact)
+        i = args.index("--ckpt")
+        ckpt_name = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    tails = (1, 2, 4, 8)
+    if "--tails" in args:  # bf16-tail sweep depths, e.g. --tails 2,4,5,6,8
+        i = args.index("--tails")
+        tails = tuple(int(t) for t in args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
     def parse_pct(a):
         # "<pct>[+bc]" — +bc turns on PTQ bias correction (quant.py)
         bc = a.endswith("+bc")
@@ -60,7 +70,7 @@ def main():
             + [("int8", p, 0, 0, "f32", bc) for p, bc in pcts]
             # mixed bf16 tail (models/quant.py bf16_tail_blocks) at the
             # shipped default calibration ("auto")
-            + [("int8", "auto", t, 0, "f32", False) for t in (1, 2, 4, 8)])
+            + [("int8", "auto", t, 0, "f32", False) for t in tails])
     for precision, pct, tail, front, front_mode, bc in rows:
         tag = precision if not pct else f"{precision}-p{pct}"
         if bc:
@@ -78,7 +88,7 @@ def main():
             test_path=valdir,
             output_file_path=sol,
             weights_path="missing.weights",
-            model_path=os.path.join(workdir, "fd_ckpt"),
+            model_path=os.path.join(workdir, ckpt_name),
             model_loading=True,
         )
         conf.hps.face_conf_th = 0.5

@@ -7,6 +7,8 @@ student-teacher gap while deploying (via quantize_folded with frozen scales)
 precisely the program that was trained.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -457,3 +459,78 @@ def test_qat_checkpoint_serves_full_int8(tmp_path):
     finally:
         quant_mod.quantize_autotail = real
     assert seen["tails"] == (0, 2, 4, 5, 6, 8)
+
+
+def test_measured_serving_pin_wins(tmp_path):
+    """A measured `int8_tail` pin in the trainmeta sidecar (written by
+    scripts/select_serving_tail.py / core.checkpoints.update_train_meta)
+    overrides BOTH the QAT full-int8 default and the plain escalation
+    ladder — the label-free self-check cannot resolve the tail frontier on
+    QAT checkpoints (round-5 measurement: errs flat 0.03-0.05 across tails
+    whose held-out AP50 spans 0.35-0.91)."""
+    from face_vijnana_yolov3_tpu.api.config import FdConf
+    from face_vijnana_yolov3_tpu.api.face_detection import FaceDetectorPipeline
+    from face_vijnana_yolov3_tpu.core.checkpoints import (
+        load_train_meta,
+        save_checkpoint,
+        update_train_meta,
+    )
+    from face_vijnana_yolov3_tpu.models import quant as quant_mod
+    from face_vijnana_yolov3_tpu.models.detector import FaceDetectorModel
+
+    m = FaceDetectorModel(image_size=96)
+    params, state = m.init(jax.random.PRNGKey(30))
+    ck = str(tmp_path / "ck")
+    save_checkpoint(ck, {"params": params, "state": state},
+                    meta={"qat": True})
+    meta = update_train_meta(ck, int8_tail=5, int8_tail_table={"0": 0.77})
+    assert meta["qat"] is True and meta["int8_tail"] == 5
+    assert load_train_meta(ck)["int8_tail"] == 5
+
+    conf = FdConf(weights_path="missing.weights", model_path=ck,
+                  model_loading=True)
+    conf.nn_arch.image_size = 96
+    pipe = FaceDetectorPipeline(conf, precision="int8")
+    assert pipe._ckpt_int8_tail == 5
+
+    seen = {}
+    real = quant_mod.quantize_autotail
+
+    def spy(model, folded, x, **kw):
+        seen["tails"] = kw.get("tails")
+        return real(model, folded, x, **kw)
+
+    quant_mod.quantize_autotail = spy
+    try:
+        imgs = np.asarray(jax.random.uniform(
+            jax.random.PRNGKey(31), (4, 96, 96, 3)), np.float32)
+        pipe.calibrate_int8(imgs)
+    finally:
+        quant_mod.quantize_autotail = real
+    assert seen["tails"] == (5,)
+    assert pipe.int8_tail_chosen == 5
+
+
+def test_select_tail_rule():
+    """select_tail walks candidates fastest-first and stops at the first
+    drift-eligible one; with none eligible it falls back to the best."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    import select_serving_tail as st
+
+    aps = {0: 0.776, 3: 0.825, 4: 0.879, 5: 0.911, 6: 0.911, 8: 0.88}
+    real = st.measure_tail_ap
+    st.measure_tail_ap = lambda w, c, t: aps[t]
+    try:
+        tail, table = st.select_tail(".", "ck", f32_ap50=0.873,
+                                     log=lambda m: None)
+        assert tail == 4  # first (fastest) candidate with drift >= -0.02
+        assert table == {0: 0.776, 3: 0.825, 4: 0.879}  # early stop
+        tail2, table2 = st.select_tail(
+            ".", "ck", tails=(0, 3), f32_ap50=0.99, log=lambda m: None)
+        assert tail2 == 3  # none eligible -> best-AP fallback
+    finally:
+        st.measure_tail_ap = real
