@@ -61,15 +61,18 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 # head-logit MAE 0.44 from bf16 in conv_0/1 alone) — robustness comes from
 # the data scale, not the serving path.
 TRAIN_EPOCHS = 400
-# Recipe v2 (round 5): quantization-aware training (FdConf.train_qat — int8
-# fake-quant at the serving requant positions, darknet.apply_graph). Round 4
-# proved full-int8 PTQ accuracy on the v1 checkpoint was blocked by requant-
-# error ACCUMULATION that no calibration/island/post-hoc-QAT recipe fixed
-# (PROFILE.md round-4 tables); training against the noise is the fix, and it
-# unlocks the measured tail-0 throughput bound. A recipe_ver mismatch in
-# meta.json restarts the cached training run (adopting any progress the
-# detached scripts/train_qat_recipe.py run already made).
-RECIPE_VER = 2
+# Recipe v3 (round 5): plain 400 epochs, then 100 quantization-aware
+# finetune epochs at lr 1e-4 (FdConf.train_qat — int8 fake-quant at the
+# serving requant positions, darknet.apply_graph). The round-5 A/B
+# (PROFILE.md): QAT-from-scratch lands f32 0.8734 / int8-tail0 0.7762
+# (drift −0.097, ineligible, shallow tails damaged); the plain 400-epoch run
+# overfits to f32 0.5822 on this dataset draw; the two-phase finetune
+# recovers BOTH — f32 0.9112, int8 tail0 0.8902 — the fake-quant noise is
+# the better regularizer AND the drift-closer when applied to a converged
+# minimum. A recipe_ver mismatch in meta.json restarts the cached run.
+RECIPE_VER = 3
+QAT_FT_START = 400     # epochs 0-400 plain, 400-500 fakequant @ FT_LR
+FT_LR = 1e-4
 CKPT_NAME = "fd_ckpt_qat"
 EPOCH_CHUNK = 60       # max epochs per invocation (one chunk, kill-safe)
 N_TRAIN, N_VAL = 640, 160
@@ -78,7 +81,11 @@ N_TRAIN, N_VAL = 640, 160
 # v3: jitted bf16 guard probe (eager probe false-accepted guard 0).
 # v4: scorer-inconclusive handling (a zero-detection NRMSE fallback no longer
 #     narrows the guard — ADVICE r4) + distinct tp/ap guard keys.
-CALIB_VER = 4
+# v5: scale-calibration sample aligned at 16 images across the explicit and
+#     autotail paths (quantize_autotail n_scale_calib 8 → 16): the selector
+#     must measure bit-identically the config serving deploys (a 0.06 AP50
+#     swing on the v3 artifact came from the 8-vs-16 scale sample alone).
+CALIB_VER = 5
 
 # --- wall-clock budget ------------------------------------------------------
 BUDGET_S = float(os.environ.get("FVY_BENCH_BUDGET_S", "900"))
@@ -138,22 +145,16 @@ def ensure_trained_checkpoint():
     meta = _load_meta()
     if meta.get("recipe_ver") != RECIPE_VER:
         # Training recipe changed: the cached run/APs belong to the old
-        # recipe's checkpoint. Adopt the progress of the detached QAT retrain
-        # (scripts/train_qat_recipe.py maintains meta_qat.json against the
-        # same CKPT_NAME) when present; otherwise restart from epoch 0.
-        qm_path = os.path.join(CACHE, "meta_qat.json")
-        epochs, spe = 0, meta.get("sec_per_epoch", 5.0)
-        if os.path.exists(qm_path):
-            with open(qm_path) as f:
-                qm = json.load(f)
-            epochs = qm.get("epochs_done", 0)
-            spe = qm.get("sec_per_epoch", spe)
-        meta = {"epochs_done": epochs, "sec_per_epoch": spe,
+        # recipe's checkpoint — restart from epoch 0. (Detached pre-training
+        # via scripts/train_qat_recipe.py writes meta.json-compatible state
+        # through the same FdConf path; a converged v3 cache carries
+        # recipe_ver 3 already.)
+        meta = {"epochs_done": 0,
+                "sec_per_epoch": meta.get("sec_per_epoch", 5.0),
                 "recipe_ver": RECIPE_VER}
         if os.path.exists(os.path.join(CACHE, "meta.json")):
             _save_meta(meta)
-        _log(f"recipe v{RECIPE_VER}: adopting QAT training progress "
-             f"(epochs_done={epochs})")
+        _log(f"recipe v{RECIPE_VER}: restarting cached training run")
 
     # Dataset build (once).
     if not os.path.exists(os.path.join(CACHE, "validation.csv")):
@@ -169,7 +170,9 @@ def ensure_trained_checkpoint():
         make_dataset(CACHE, n_train=N_TRAIN, n_val=N_VAL)
         _log(f"dataset built in {time.monotonic()-t0:.0f}s")
 
-    # ONE training chunk, trimmed to the budget.
+    # ONE training chunk, trimmed to the budget. Recipe v3 is two-phase
+    # (plain to QAT_FT_START, fakequant finetune at FT_LR to TRAIN_EPOCHS);
+    # a chunk never crosses the phase boundary.
     if meta["epochs_done"] < TRAIN_EPOCHS:
         spe = float(meta.get("sec_per_epoch", 5.0))
         npz_cost = 0.0 if any(
@@ -177,11 +180,13 @@ def ensure_trained_checkpoint():
         ) else NPZ_DECODE_EST_S
         avail = remaining() - THROUGHPUT_RESERVE_S - CHUNK_OVERHEAD_EST_S \
             - npz_cost
-        n_epochs = min(EPOCH_CHUNK, TRAIN_EPOCHS - meta["epochs_done"],
+        ft_phase = meta["epochs_done"] >= QAT_FT_START
+        phase_end = TRAIN_EPOCHS if ft_phase else QAT_FT_START
+        n_epochs = min(EPOCH_CHUNK, phase_end - meta["epochs_done"],
                        int(avail / spe) if avail > 0 else 0)
         # min-5 guard stops uselessly tiny chunks, but must not strand the
-        # cache when <5 epochs REMAIN to the target.
-        if n_epochs < min(5, TRAIN_EPOCHS - meta["epochs_done"]):
+        # cache when <5 epochs REMAIN to the phase target.
+        if n_epochs < min(5, phase_end - meta["epochs_done"]):
             _log(f"skipping training chunk: budget fits {n_epochs} epochs "
                  f"(epochs_done={meta['epochs_done']})")
         else:
@@ -191,10 +196,10 @@ def ensure_trained_checkpoint():
                 weights_path="missing.weights",
                 model_path=ckpt,
             )
-            conf.hps.lr = 1e-3
+            conf.hps.lr = FT_LR if ft_phase else 1e-3
             conf.hps.epochs = n_epochs
             conf.hps.batch_size = 16
-            conf.train_qat = True  # recipe v2 (RECIPE_VER comment above)
+            conf.train_qat = ft_phase  # recipe v3 (RECIPE_VER comment above)
             conf.checkpoint_every = 20
             conf.dataset_cache = "disk"  # npz stack next to the CSV: repeat
             # invocations skip the single-core JPEG decode entirely

@@ -18,11 +18,12 @@ def save_checkpoint(path: str, tree: Any, meta: dict | None = None) -> None:
 
     meta: optional JSON-able training metadata written to a sidecar file
     (`<path>.trainmeta.json`) — e.g. {"qat": true} for quantization-aware
-    runs, which flips the int8 serving default (calibrate_int8: a QAT
-    checkpoint serves FULL int8; on such checkpoints the f32 path is the
-    off-distribution one, so f32-agreement-driven tail escalation picks
-    slower AND less accurate configs — measured tail frontier inversion,
-    STATUS round-5). A sidecar keeps old checkpoints loadable unchanged.
+    runs (pin-less QAT checkpoints serve FULL int8 by default), or the
+    measured `int8_tail` serving pin written by update_train_meta /
+    scripts/select_serving_tail.py, which calibrate_int8 honors over every
+    heuristic (the label-free self-check is measurably blind to the tail
+    frontier on QAT artifacts — PROFILE round 5). A sidecar keeps old
+    checkpoints loadable unchanged.
     """
     import orbax.checkpoint as ocp
 

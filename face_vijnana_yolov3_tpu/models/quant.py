@@ -850,7 +850,7 @@ def quantize_autotail(
     rel_threshold: float = 0.05,
     improve_factor: float = 0.7,
     scorer=None,
-    n_scale_calib: int = 8,
+    n_scale_calib: int = 16,
 ):
     """Calibration SELF-CHECK with automatic bf16-tail escalation.
 
@@ -899,10 +899,16 @@ def quantize_autotail(
     x_calib while the self-check scores on ALL of them. The two sample
     sizes must be decoupled: the box-F1 verdict needs ≥16 images to
     resolve tail improvements (8-image granularity ~0.05 masked the tail-8
-    recovery), but growing the SCALE sample from 8 to 32 images made this
-    same checkpoint dramatically WORSE (self-check err 0.17 → 0.47, AP50
-    0.73 → 0.26 — more samples feed maxabs bigger grid-stretching
-    outliers). Measured on the round-3 bench checkpoint; PROFILE.md.
+    recovery), but growing the SCALE sample from 8 to 32 images made the
+    round-3 checkpoint dramatically WORSE (self-check err 0.17 → 0.47,
+    AP50 0.73 → 0.26 — more samples feed maxabs bigger grid-stretching
+    outliers). The default is 16 — the SAME sample the explicit
+    quantize path (calibrate_int8 / probe_precision_ap rows /
+    select_serving_tail) uses, so a tail measured by the selector is
+    bit-identically the config serving deploys. Round 5 measured the cost
+    of NOT aligning them: the v3 artifact's pinned tail-3 scored AP50
+    0.9085 calibrated on 16 images but 0.8468 on 8 — a 0.06 AP swing from
+    the scale sample alone (same tail, same images, same ladder).
 
     Returns (qparams, tail_blocks, err). Fast path (healthy checkpoint):
     one quantize + one extra forward, tail 0.

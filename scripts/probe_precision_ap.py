@@ -43,7 +43,7 @@ def main():
     tails = (1, 2, 4, 8)
     if "--tails" in args:  # bf16-tail sweep depths, e.g. --tails 2,4,5,6,8
         i = args.index("--tails")
-        tails = tuple(int(t) for t in args[i + 1].split(","))
+        tails = tuple(int(t) for t in args[i + 1].split(",") if t)
         args = args[:i] + args[i + 2:]
     def parse_pct(a):
         # "<pct>[+bc]" — +bc turns on PTQ bias correction (quant.py)
