@@ -319,7 +319,8 @@ def measure_aps_cached(ckpt, valdir, meta, serving_pin=None):
              f"(AP50 {ap50:.4f})")
     if "f32_ap50" in ap and "int8_ap50" in ap:
         ap["int8_ap50_drift"] = round(ap["int8_ap50"] - ap["f32_ap50"], 4)
-    return {k: v for k, v in ap.items() if k != "calib_ver"}
+    return {k: v for k, v in ap.items()
+            if k != "calib_ver" and not (k == "serving_pin" and v is None)}
 
 
 def detector_flops_per_image(image_size=416):

@@ -25,28 +25,35 @@ and the same f32 epilogue ops in the same order (dequant * w_scale + bias,
 leaky, skip dequant-add, round-half-even, clip) — asserted by
 tests/test_pallas_block.py on every eligible trunk shape.
 
-STATUS — measured NEGATIVE result on a real v5e; kept off by default
-(FdConf.int8_pallas_blocks). scripts/probe_pallas_block.py (4 chained
-blocks, scan-chained timing, bit-exact at every stage):
+STATUS — measured NEGATIVE result on a real v5e, in BOTH formulations;
+kept off by default (FdConf.int8_pallas_blocks). scripts/probe_pallas_block.py
+(4 chained blocks, scan-chained timing, bit-exact at every stage; round-5
+re-measurement with the roll mode):
 
-    stage3 52^2x256  b128  xla 5.48 ms   pallas  9.98 ms   (1.82x slower)
-    stage3 52^2x256  b512  xla 19.54 ms  pallas 36.94 ms   (1.89x)
-    stage4 26^2x512  b128  xla 4.84 ms   pallas  6.64 ms   (1.37x)
-    stage4 26^2x512  b512  xla 14.41 ms  pallas 21.43 ms   (1.49x)
-    stage5 13^2x1024 b128  xla 4.42 ms   pallas  5.35 ms   (1.21x)
-    stage5 13^2x1024 b512  xla 12.58 ms  pallas 17.91 ms   (1.42x)
+    stage3 52^2x256  b128  xla  5.75 ms  concat 10.40 ms  roll 11.31 ms
+    stage3 52^2x256  b512  xla 18.34 ms  concat 36.85 ms  roll 40.43 ms
+    stage4 26^2x512  b128  xla  4.35 ms  concat  6.96 ms  roll  6.47 ms
+    stage4 26^2x512  b512  xla 14.22 ms  concat 21.26 ms  roll 22.62 ms
+    stage5 13^2x1024 b128  xla  3.97 ms  concat  5.19 ms  roll  5.24 ms
+    stage5 13^2x1024 b512  xla 11.67 ms  concat 17.48 ms  roll 17.75 ms
 
 Why XLA wins: at stage5 b512 the stock int8 program sustains ~289 TOPS
 (~73% of v5e int8 MXU peak) — the conv emitter is much closer to peak on
 these lane-aligned shapes than the ~50% whole-trunk average in PROFILE.md
 suggested (that average is dragged down by the front). The fused kernel's
 VMEM-residency saving (skipping one hw*Ch int8 HBM round trip per block)
-is small against that, and the 9 per-tap int8 shift copies + border masks
-are pure VPU overhead the stock conv path doesn't pay, worst at stage3
-where hw=2704 dominates (47% of peak stock, kernel 1.9x behind). Lesson
-recorded: int8 residual blocks are MXU-bound under XLA already; Pallas wins
-here need a formulation with zero per-tap data movement (e.g. Mosaic
-support for strided tap matmuls), not just intermediate residency.
+is small against that, and the per-tap data movement is pure VPU overhead
+the stock conv path doesn't pay, worst at stage3 where hw=2704 dominates.
+The round-2 postmortem hypothesized a zero-operand-movement formulation
+would close the gap; round 5 BUILT it (roll mode: all 9 taps share one
+unshifted lhs, the shift becomes a pltpu.roll of the int32 tap product)
+and it is NOT faster — rotating the 4-byte int32 product moves 4x the
+bytes the int8 operand shift did, a wash at best (stage4 b128) and worse
+where hw is large. The inquiry is CLOSED: int8 residual blocks are
+MXU-emitter-bound under XLA; a winning kernel would need true strided tap
+access with no materialized shift/rotate at all, which Mosaic does not
+express today. (Roll mode also needs the raised serving scoped-VMEM
+budget — the int32 tap product overflows the 16M default at stage3 b128.)
 
 Reference context: the residual stages come from make_yolov3_model
 (reference src/space/yolov3_detect.py:217-311); the int8 scheme quantizing

@@ -57,7 +57,14 @@ def make_block(rng, H, C, CH):
 
 
 def chained(step, batch, H, C):
-    @jax.jit
+    from functools import partial
+
+    from face_vijnana_yolov3_tpu.utils.runtime import tpu_compiler_options
+
+    # serving-jit compile options: the roll-mode kernel's int32 tap product
+    # needs ~16.8M of scoped VMEM at stage3 b128 — over the 16M default,
+    # within the raised serving budget (FVY_XLA_VMEM_KIB)
+    @partial(jax.jit, compiler_options=tpu_compiler_options("serving"))
     def run(qp, x):
         def body(carry, _):
             xi = x + (0.0 * carry).astype(x.dtype)

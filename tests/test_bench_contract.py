@@ -95,3 +95,30 @@ def test_training_and_dataset_gated_with_no_budget(monkeypatch, tmp_path):
     ckpt, valdir, meta = bench.ensure_trained_checkpoint()
     assert meta["epochs_done"] == 0
     assert not os.path.exists(os.path.join(str(tmp_path), "validation.csv"))
+
+
+def test_ap_cache_invalidated_on_serving_pin_change(monkeypatch, tmp_path):
+    """int8 rows measured under a different (or no) measured serving pin are
+    a different served config and must re-measure; f32/bf16 rows survive."""
+    bench = _fresh_bench(monkeypatch, "100000")
+    monkeypatch.setattr(bench, "CACHE", str(tmp_path))
+    calls = []
+
+    def fake_measure(ckpt, valdir, precision):
+        calls.append(precision)
+        return 0.5, 0.4, {}
+
+    monkeypatch.setattr(bench, "measure_ap", fake_measure)
+    meta = {"epochs_done": 60}
+    ap = bench.measure_aps_cached("ckpt", "val", meta, serving_pin=None)
+    assert calls == ["float32", "int8", "bfloat16"]
+    assert "serving_pin" not in ap  # a None pin must not leak into the JSON
+
+    calls.clear()
+    ap2 = bench.measure_aps_cached("ckpt", "val", meta, serving_pin=3)
+    assert calls == ["int8"]  # pin change re-measures ONLY the int8 rows
+    assert ap2["serving_pin"] == 3
+
+    calls.clear()
+    ap3 = bench.measure_aps_cached("ckpt", "val", meta, serving_pin=3)
+    assert calls == [] and ap3["serving_pin"] == 3  # warm
